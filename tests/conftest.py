@@ -8,13 +8,18 @@ meaningful; library code always uses explicit dtypes and is unaffected.
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Hard-set (not setdefault): the host environment pins JAX_PLATFORMS=axon
+# (the TPU tunnel) and /root/.axon_site re-applies it at interpreter startup.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
 
+# The axon sitecustomize initializes jax's backend selection before this file
+# runs; the config update (re-read after import) is what actually sticks.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

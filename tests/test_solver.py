@@ -1,0 +1,283 @@
+"""Solver tests: synthetic ground-truth recovery + parity vs the reference.
+
+The reference implementation at /root/reference is importable (pure Python +
+scipy); where present we use it as the parity oracle, running both solvers on
+identical synthetic edge dicts and requiring agreement within the BASELINE
+targets (1e-3 rad rotation / 1e-3 m translation).
+"""
+import os
+import sys
+
+import numpy as np
+import pytest
+
+from vican_tpu import bipgo
+from vican_tpu.geometry import SE3, distance_SO3, optimize_gauge_SE3
+from vican_tpu.synthetic import make_problem
+
+REFERENCE = "/root/reference"
+HAS_REFERENCE = os.path.isdir(os.path.join(REFERENCE, "vican"))
+
+
+def gauge_aligned_errors(cams_gt: dict, pose_est: dict):
+    """Reference evaluation protocol (main.ipynb cell 9)."""
+    valid = [c for c in cams_gt if c in pose_est]
+    G = optimize_gauge_SE3(
+        [cams_gt[c].inv() for c in valid], [pose_est[c].inv() for c in valid]
+    )
+    r_err, t_err = [], []
+    for c in valid:
+        gt = cams_gt[c]
+        est = G.inv() @ pose_est[c]
+        r_err.append(distance_SO3(gt.R().astype(np.float64), est.R().astype(np.float64)))
+        t_err.append(np.linalg.norm(gt.t() - est.t()))
+    return np.array(r_err), np.array(t_err)
+
+
+class TestRecovery:
+    def test_camera_network_recovery(self):
+        prob = make_problem(seed=0, n_cams=10, n_times=80, n_markers=8, kappa_r=1e5, sigma_t=1e-4)
+        pose_est = bipgo.bipartite_se3sync(
+            prob.edges,
+            constraints=prob.constraints(),
+            noise_model_r=lambda e: 1.0,
+            noise_model_t=lambda e: 1.0,
+            edge_filter=lambda e: True,
+            maxiter=4,
+            lsqr_solver="conjugate_gradient",
+            dtype=np.float64,
+            verbose=False,
+        )
+        r_err, t_err = gauge_aligned_errors(prob.cams_gt, pose_est)
+        assert len(r_err) == 10
+        assert r_err.mean() < 0.3, r_err  # degrees
+        assert t_err.mean() < 0.01, t_err  # meters
+
+    def test_low_noise_near_exact(self):
+        prob = make_problem(seed=1, n_cams=6, n_times=50, n_markers=6, kappa_r=1e9, sigma_t=1e-8)
+        pose_est = bipgo.bipartite_se3sync(
+            prob.edges,
+            constraints=prob.constraints(),
+            noise_model_r=lambda e: 1.0,
+            noise_model_t=lambda e: 1.0,
+            edge_filter=lambda e: True,
+            maxiter=4,
+            dtype=np.float64,
+            verbose=False,
+        )
+        r_err, t_err = gauge_aligned_errors(prob.cams_gt, pose_est)
+        assert r_err.max() < 1e-2
+        assert t_err.max() < 1e-4
+
+    def test_object_calibration_recovery(self):
+        # Single "camera" = per-frame observations of an 8-marker object.
+        prob = make_problem(seed=2, n_cams=1, n_times=120, n_markers=8, p_obs=0.5,
+                            kappa_r=1e6, sigma_t=1e-5)
+        # object-calib edge schema: keys (t, "t_m") — cam.py naming from a
+        # <t>/<t>.jpg cube_calib layout (README.md:51).
+        obj_edges = {}
+        for (c, tm), v in prob.edges.items():
+            t, m = tm.split("_")
+            obj_edges[(t, tm)] = v
+        est = bipgo.object_bipartite_se3sync(
+            obj_edges,
+            noise_model_r=lambda e: 1.0,
+            noise_model_t=lambda e: 1.0,
+            edge_filter=lambda e: True,
+            maxiter=4,
+            dtype=np.float64,
+            verbose=False,
+        )
+        assert set(est.keys()) == set(prob.markers_gt.keys())
+        # Estimates are marker->root-marker-frame; GT markers are marker->object.
+        # Align with the SE(3) gauge and compare.
+        r_err, t_err = gauge_aligned_errors(prob.markers_gt, est)
+        assert r_err.mean() < 0.05, r_err
+        assert t_err.mean() < 1e-3, t_err
+
+    def test_edge_filter_is_applied(self):
+        prob = make_problem(seed=3, n_cams=6, n_times=40, n_markers=6, kappa_r=1e7, sigma_t=1e-6)
+        # poison some edges but mark them filterable
+        edges = dict(prob.edges)
+        rng = np.random.default_rng(0)
+        poisoned = list(edges.keys())[:: max(len(edges) // 17, 1)]
+        for k in poisoned:
+            v = dict(edges[k])
+            v["pose"] = SE3(R=np.eye(3), t=rng.normal(size=3) * 100)
+            v["reprojected_err"] = 99.0
+            edges[k] = v
+        pose_est = bipgo.bipartite_se3sync(
+            edges,
+            constraints=prob.constraints(),
+            noise_model_r=lambda e: 1.0,
+            noise_model_t=lambda e: 1.0,
+            edge_filter=lambda e: e["reprojected_err"] < 0.05,
+            maxiter=4,
+            dtype=np.float64,
+            verbose=False,
+        )
+        r_err, t_err = gauge_aligned_errors(prob.cams_gt, pose_est)
+        assert r_err.mean() < 0.1
+        assert t_err.mean() < 1e-3
+
+    def test_noise_model_downweights_bad_edges(self):
+        prob = make_problem(seed=4, n_cams=6, n_times=40, n_markers=6, kappa_r=1e7, sigma_t=1e-6)
+        edges = {}
+        rng = np.random.default_rng(1)
+        for i, (k, v) in enumerate(prob.edges.items()):
+            v = dict(v)
+            if i % 7 == 0:
+                v["pose"] = SE3(R=v["pose"].R() @ np.diag([1.0, -1, -1]), t=v["pose"].t() + rng.normal(size=3))
+                v["quality"] = 1e-6
+            else:
+                v["quality"] = 1.0
+            edges[k] = v
+        pose_est = bipgo.bipartite_se3sync(
+            edges,
+            constraints=prob.constraints(),
+            noise_model_r=lambda e: e["quality"],
+            noise_model_t=lambda e: e["quality"],
+            edge_filter=lambda e: True,
+            maxiter=4,
+            dtype=np.float64,
+            verbose=False,
+        )
+        r_err, t_err = gauge_aligned_errors(prob.cams_gt, pose_est)
+        assert r_err.mean() < 0.2, r_err
+        assert t_err.mean() < 0.01, t_err
+
+    def test_lsqr_direct_matches_cg(self):
+        prob = make_problem(seed=5, n_cams=6, n_times=30, n_markers=5, kappa_r=1e6, sigma_t=1e-5)
+        kwargs = dict(
+            constraints=prob.constraints(),
+            noise_model_r=lambda e: 1.0,
+            noise_model_t=lambda e: 1.0,
+            edge_filter=lambda e: True,
+            maxiter=4,
+            dtype=np.float64,
+            verbose=False,
+        )
+        est_cg = bipgo.bipartite_se3sync(prob.edges, lsqr_solver="conjugate_gradient", **kwargs)
+        est_dr = bipgo.bipartite_se3sync(prob.edges, lsqr_solver="direct", **kwargs)
+        # translations agree up to a global shift (both are gauge-deficient LSQ)
+        keys = sorted(est_cg.keys())
+        d = np.stack([est_cg[k].t() - est_dr[k].t() for k in keys])
+        spread = d - d.mean(axis=0)
+        # CG runs at the reference's rtol=1e-5 on the normal equations, so the
+        # two iterative solutions agree to ~1e-4 m, not machine precision.
+        assert np.abs(spread).max() < 1e-3, np.abs(spread).max()
+
+    def test_empty_after_filter_raises(self):
+        prob = make_problem(seed=6, n_cams=3, n_times=10, n_markers=4)
+        with pytest.raises(ValueError):
+            bipgo.bipartite_se3sync(
+                prob.edges,
+                constraints=prob.constraints(),
+                noise_model_r=lambda e: 1.0,
+                noise_model_t=lambda e: 1.0,
+                edge_filter=lambda e: False,
+                maxiter=4,
+                verbose=False,
+            )
+
+
+@pytest.mark.skipif(not HAS_REFERENCE, reason="reference checkout not available")
+class TestReferenceParity:
+    """Run the actual reference implementation (read-only import) as oracle."""
+
+    @classmethod
+    def setup_class(cls):
+        sys.path.insert(0, REFERENCE)
+        import vican.bipgo as ref_bipgo  # noqa
+        import vican.geometry as ref_geometry  # noqa
+
+        cls.ref_bipgo = ref_bipgo
+        cls.ref_geometry = ref_geometry
+
+    def to_ref_edges(self, edges):
+        RefSE3 = self.ref_geometry.SE3
+        out = {}
+        for k, v in edges.items():
+            nv = dict(v)
+            nv["pose"] = RefSE3(R=np.array(v["pose"].R(), dtype=np.float64),
+                                t=np.array(v["pose"].t(), dtype=np.float64))
+            out[k] = nv
+        return out
+
+    def to_ref_constraints(self, constraints):
+        RefSE3 = self.ref_geometry.SE3
+        return {
+            m: RefSE3(R=np.array(c.R(), dtype=np.float64), t=np.array(c.t(), dtype=np.float64))
+            for m, c in constraints.items()
+        }
+
+    def test_se3sync_parity(self):
+        prob = make_problem(seed=7, n_cams=8, n_times=60, n_markers=6, p_obs=0.4,
+                            kappa_r=1e4, sigma_t=1e-3)
+        nm_r = lambda e: 1.0 + 0.001 * e["corners"][0, 0]
+        nm_t = lambda e: 0.5 + 0.001 * e["corners"][0, 1]
+        filt = lambda e: e["reprojected_err"] < 0.03
+
+        ours = bipgo.bipartite_se3sync(
+            prob.edges, constraints=prob.constraints(),
+            noise_model_r=nm_r, noise_model_t=nm_t, edge_filter=filt,
+            maxiter=4, lsqr_solver="conjugate_gradient", dtype=np.float64, verbose=False,
+        )
+        theirs = self.ref_bipgo.bipartite_se3sync(
+            self.to_ref_edges(prob.edges),
+            constraints=self.to_ref_constraints(prob.constraints()),
+            noise_model_r=nm_r, noise_model_t=nm_t, edge_filter=filt,
+            maxiter=4, lsqr_solver="conjugate_gradient", dtype=np.float64,
+        )
+
+        assert set(ours.keys()) == set(theirs.keys())
+        r_errs, t_errs = [], []
+        for k in theirs:
+            r_errs.append(distance_SO3(np.asarray(ours[k].R(), np.float64),
+                                       np.asarray(theirs[k].R(), np.float64)))
+            t_errs.append(np.linalg.norm(ours[k].t() - theirs[k].t()))
+        r_errs, t_errs = np.array(r_errs), np.array(t_errs)
+        # BASELINE targets: 1e-3 rad (0.057 deg) rotation, 1e-3 m translation.
+        assert r_errs.max() < 0.057, (r_errs.max(), r_errs.mean())
+        # translations match up to the (unpinned) global shift both solvers share
+        # through CG from x0=0; compare directly like the baseline requires.
+        assert t_errs.max() < 1e-3, (t_errs.max(), t_errs.mean())
+
+    def test_object_se3sync_parity(self):
+        prob = make_problem(seed=8, n_cams=1, n_times=100, n_markers=8, p_obs=0.5,
+                            kappa_r=1e5, sigma_t=1e-4)
+        obj_edges = {(tm.split("_")[0], tm): v for (c, tm), v in prob.edges.items()}
+        nm_r = lambda e: 1.0
+        nm_t = lambda e: 1.0
+        filt = lambda e: True
+
+        ours = bipgo.object_bipartite_se3sync(
+            obj_edges, noise_model_r=nm_r, noise_model_t=nm_t, edge_filter=filt,
+            maxiter=4, lsqr_solver="conjugate_gradient", dtype=np.float64, verbose=False,
+        )
+        theirs = self.ref_bipgo.object_bipartite_se3sync(
+            self.to_ref_edges(obj_edges), noise_model_r=nm_r, noise_model_t=nm_t,
+            edge_filter=filt, maxiter=4, lsqr_solver="conjugate_gradient", dtype=np.float64,
+        )
+        assert set(ours.keys()) == set(theirs.keys())
+        for k in theirs:
+            assert distance_SO3(np.asarray(ours[k].R(), np.float64),
+                                np.asarray(theirs[k].R(), np.float64)) < 0.057
+            assert np.linalg.norm(ours[k].t() - theirs[k].t()) < 1e-3
+
+    def test_so3sync_parity(self):
+        prob = make_problem(seed=9, n_cams=8, n_times=50, n_markers=6, kappa_r=1e4)
+        nm = lambda e: 1.0
+        filt = lambda e: True
+        ours = bipgo.large_bipartite_so3sync(
+            prob.edges, constraints=prob.constraints(), noise_model=nm,
+            edge_filter=filt, maxiter=4, dtype=np.float64, verbose=False,
+        )
+        theirs = self.ref_bipgo.large_bipartite_so3sync(
+            self.to_ref_edges(prob.edges), constraints=self.to_ref_constraints(prob.constraints()),
+            noise_model=nm, edge_filter=filt, maxiter=4, dtype=np.float64,
+        )
+        assert set(ours.keys()) == set(theirs.keys())
+        for k in theirs:
+            assert distance_SO3(np.asarray(ours[k], np.float64),
+                                np.asarray(theirs[k], np.float64)) < 0.057

@@ -1,0 +1,257 @@
+"""Bipartite pose-graph optimization — public API.
+
+Drop-in equivalents of the reference entry points (vican/bipgo.py):
+
+- :func:`bipartite_se3sync`        (bipgo.py:353-490)
+- :func:`object_bipartite_se3sync` (bipgo.py:493-545)
+- :func:`large_bipartite_so3sync`  (bipgo.py:145-350)
+- :func:`bipartite_so3sync`        (alias; the reference's small-graph variant
+  at bipgo.py:18-142 is dead code with a conflicting constraint convention —
+  the live power-graph math is canonical, see SURVEY.md §2 #10)
+
+Same edge-dict schema, same callable hooks (``noise_model_r/t``,
+``edge_filter`` evaluated per edge on the host), same output conventions
+(world-frame poses keyed by camera id and ``"<t>_0"``).  The compute runs as
+jitted JAX on the accelerator; see :mod:`vican_tpu.solver.core` for the
+TPU-native redesign notes.
+"""
+from __future__ import annotations
+
+import warnings
+from typing import Callable
+
+import numpy as np
+
+from .geometry import SE3
+from .solver import core as _core
+from .solver.packing import PackedProblem, pack_problem
+from .utils.timing import PhaseTimer
+
+__all__ = [
+    "bipartite_se3sync",
+    "object_bipartite_se3sync",
+    "large_bipartite_so3sync",
+    "bipartite_so3sync",
+]
+
+
+def _solver_dtype(dtype):
+    """Resolve the requested dtype against backend capabilities.
+
+    The reference runs object calibration in float64 (main.ipynb cell 3).
+    TPUs have no native f64; if x64 is unavailable we compute in f32 and warn
+    (the normalized eigensolve keeps f32 well within the 1e-3 target — see
+    tests/test_solver.py parity suite).
+    """
+    import jax
+
+    dtype = np.dtype(dtype)
+    if dtype == np.float64 and not jax.config.jax_enable_x64:
+        warnings.warn(
+            "float64 requested but jax x64 is disabled (TPU default); "
+            "computing in float32. Call jax.config.update('jax_enable_x64', True) "
+            "on a CPU backend for full f64.",
+            stacklevel=3,
+        )
+        return np.dtype(np.float32)
+    return dtype
+
+
+def _sync_packed(packed: PackedProblem, maxiter, dtype, tm: PhaseTimer):
+    """Run the device SO(3) sync on an already-packed problem."""
+    import jax.numpy as jnp
+
+    tm.log(
+        "Bipartite graph: {} cameras, {} timesteps, {} edges.".format(
+            packed.num_cams, packed.num_times, packed.num_pairs
+        )
+    )
+    with tm.phase("Building power graph") as ev:
+        M, W = _core.fold_constraints(
+            jnp.asarray(packed.R_e, dtype),
+            jnp.asarray(packed.k_r, dtype),
+            jnp.asarray(packed.marker_idx),
+            jnp.asarray(packed.R_con, dtype),
+            packed.root_idx,
+            jnp.asarray(packed.agg_inverse),
+            packed.num_pairs,
+        )
+        ev["sync"] = (M, W)
+
+    with tm.phase("Optimizing") as ev:
+        result = _core.so3_sync(
+            M,
+            W,
+            jnp.asarray(packed.agg_cam),
+            jnp.asarray(packed.agg_time),
+            C=packed.num_cams,
+            T=packed.num_times,
+            maxiter=jnp.asarray(maxiter, jnp.int32),
+        )
+        ev["sync"] = result
+    tm.log(
+        "Iterations: {}  evals: {}  eigengap: {:1.3e}".format(
+            int(result.num_iters), np.asarray(result.evals), float(result.eigengap)
+        )
+    )
+    return result
+
+
+def large_bipartite_so3sync(
+    src_edges: dict,
+    constraints: dict,
+    noise_model: Callable,
+    edge_filter: Callable,
+    maxiter: int,
+    dtype=np.float32,
+    verbose: bool = True,
+) -> dict:
+    """SO(3) synchronization in large bipartite graphs with node constraints.
+
+    Primal-dual iteration over the camera power graph (VICAN).  Edge keys are
+    ``(camera_id, "<t>_<marker>")`` tuples; values carry at least ``"pose"``
+    (an SE3 whose rotation is camera->marker).  Returns world-frame rotations
+    keyed by camera id and ``"<t>_0"``.
+    """
+    dtype = _solver_dtype(dtype)
+    tm = PhaseTimer(verbose=verbose)
+    tm.log(
+        "Received graph with {} nodes {} edges".format(
+            len({n for e in src_edges for n in e}), len(src_edges)
+        )
+    )
+    with tm.phase("Applying constraints"):
+        packed = pack_problem(src_edges, constraints, noise_model, lambda e: 1.0, edge_filter)
+    result = _sync_packed(packed, maxiter, dtype, tm)
+
+    r_cam = np.asarray(result.r_cam)
+    r_time = np.asarray(result.r_time)
+    out = {}
+    for i, c in enumerate(packed.cam_ids):
+        out[c] = r_cam[i]
+    for j, t in enumerate(packed.time_ids):
+        out[t + "_0"] = r_time[j]
+    return out
+
+
+# The reference's non-power-graph variant (bipgo.py:18-142) is unused dead
+# code with an inconsistent folding convention; we expose the name for API
+# compatibility, backed by the canonical algorithm.
+bipartite_so3sync = large_bipartite_so3sync
+
+
+def bipartite_se3sync(
+    src_edges: dict,
+    constraints: dict,
+    noise_model_r: Callable,
+    noise_model_t: Callable,
+    edge_filter: Callable,
+    maxiter: int,
+    lsqr_solver: str = "conjugate_gradient",
+    dtype=np.float32,
+    verbose: bool = True,
+) -> dict:
+    """SE(3) synchronization in large bipartite graphs with node constraints.
+
+    Rotation stage via the power-graph primal-dual sync; translations from a
+    weighted incidence least-squares system solved matrix-free on device
+    (``lsqr_solver``: ``"conjugate_gradient"`` for CG on the normal equations,
+    ``"direct"`` for LSQR — both iterative, mirroring bipgo.py:476-480).
+    Returns ``{node: SE3}`` world-frame poses for cameras and ``"<t>_0"``
+    object nodes.
+    """
+    import jax.numpy as jnp
+
+    dtype = _solver_dtype(dtype)
+    tm = PhaseTimer(verbose=verbose)
+    tm.log(
+        "Received graph with {} nodes {} edges".format(
+            len({n for e in src_edges for n in e}), len(src_edges)
+        )
+    )
+    with tm.phase("Applying constraints"):
+        packed = pack_problem(src_edges, constraints, noise_model_r, noise_model_t, edge_filter)
+
+    result = _sync_packed(packed, maxiter, dtype, tm)
+
+    with tm.phase("Building sparse incidence system") as ev:
+        k_t = jnp.asarray(packed.k_t, dtype)
+        cam_idx = jnp.asarray(packed.cam_idx)
+        time_idx = jnp.asarray(packed.time_idx)
+        t_tilde = _core.translation_rhs(
+            result.r_cam.astype(dtype),
+            result.r_time.astype(dtype),
+            jnp.asarray(packed.t_e, dtype),
+            k_t,
+            cam_idx,
+            time_idx,
+            jnp.asarray(packed.marker_idx),
+            jnp.asarray(packed.R_con, dtype),
+            jnp.asarray(packed.t_con, dtype),
+            packed.root_idx,
+        )
+        ev["sync"] = t_tilde
+
+    with tm.phase("Solving sparse linear system") as ev:
+        C, T = packed.num_cams, packed.num_times
+        if lsqr_solver == "conjugate_gradient":
+            t_est, res = _core.solve_translations_cg(t_tilde, k_t, cam_idx, time_idx, C=C, T=T)
+        elif lsqr_solver == "direct":
+            t_est, res = _core.solve_translations_lsqr(t_tilde, k_t, cam_idx, time_idx, C=C, T=T)
+        else:
+            raise ValueError(f"unknown lsqr_solver: {lsqr_solver!r}")
+        ev["sync"] = t_est
+    res = float(res)
+    if res > 1e-3:
+        warnings.warn(f"translation solve residual {res:.3e} (poorly converged)")
+
+    r_cam = np.asarray(result.r_cam)
+    r_time = np.asarray(result.r_time)
+    t_est = np.asarray(t_est)
+    out = {}
+    for i, c in enumerate(packed.cam_ids):
+        out[c] = SE3(R=r_cam[i], t=t_est[i])
+    for j, t in enumerate(packed.time_ids):
+        out[t + "_0"] = SE3(R=r_time[j], t=t_est[packed.num_cams + j])
+    tm.log("Done!")
+    return out
+
+
+def object_bipartite_se3sync(
+    src_edges: dict,
+    noise_model_r: Callable,
+    noise_model_t: Callable,
+    edge_filter: Callable,
+    maxiter: int,
+    lsqr_solver: str = "conjugate_gradient",
+    dtype=np.float32,
+    verbose: bool = True,
+) -> dict:
+    """Calibrate a marker object from a single static camera.
+
+    Re-keys edges so markers play the "camera" role and each frame the
+    "time" role, with inverted poses (bipgo.py:524-531), then runs
+    :func:`bipartite_se3sync` with an identity constraint on the lowest
+    marker id.  Returns only the marker poses (keys without ``"_"``), in the
+    root-marker frame.
+    """
+    edges = {}
+    root = str(min(int(e[1].split("_")[1]) for e in src_edges))
+    for (t_key, tm_key), v in src_edges.items():
+        t, marker_id = tm_key.split("_")
+        new_v = dict(v)
+        new_v["pose"] = v["pose"].inv()
+        edges[(marker_id, t + "_" + root)] = new_v
+
+    out = bipartite_se3sync(
+        edges,
+        constraints={root: SE3(pose=np.eye(4))},
+        noise_model_r=noise_model_r,
+        noise_model_t=noise_model_t,
+        edge_filter=edge_filter,
+        maxiter=maxiter,
+        lsqr_solver=lsqr_solver,
+        dtype=dtype,
+        verbose=verbose,
+    )
+    return {k: v for k, v in out.items() if "_" not in k}

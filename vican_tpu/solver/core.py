@@ -1,0 +1,381 @@
+"""Device solver core: primal-dual bipartite SE(3) synchronization on TPU.
+
+TPU-first redesign of the reference pipeline (vican/bipgo.py:145-490):
+
+- Constraint folding + (c,t) aggregation (bipgo.py:203-223) -> one batched
+  einsum + ``segment_sum`` instead of an O(E) Python dict loop.
+- The power graph ``R~ = R_ct . Lambda_T . R_ct^T`` (bipgo.py:273,334) is built
+  as a single dense (3C, 3T)x(3T, 3C) matmul on the MXU from a scattered block
+  tensor.  C (number of cameras) is small — hundreds — so the 3Cx3C result is
+  tiny; this replaces SciPy CSR products.
+- The bottom-5 eigenpairs (ARPACK shift-invert ``eigs(k=5, sigma=-1e-6)``,
+  bipgo.py:288) become a dense ``jnp.linalg.eigh`` of the (normalized) 3Cx3C
+  Laplacian; we select the 5 eigenvalues closest to -1e-6 to mirror ARPACK's
+  shift-invert ordering exactly.
+- Per-block SVD loops for primal rounding and dual updates
+  (bipgo.py:295-332) -> ``vmap``-batched 3x3 SVDs.
+- The primal-dual loop with the optimality-certificate early exit
+  (bipgo.py:282-284) -> ``lax.while_loop``.
+- Translation least squares (bipgo.py:434-481): the incidence system is never
+  materialized; CG runs on the normal-equation matvec built from two
+  ``segment_sum`` calls, and the "direct" path is a jitted LSQR on the same
+  operators (SciPy's ``lsqr`` is itself iterative).
+
+Everything in this module is pure jnp on static shapes: jit/vmap/shard_map
+compatible.  The host boundary (string parsing, user callables) lives in
+:mod:`vican_tpu.solver.packing`.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..ops.lie import svd3_so3, project_so3
+
+__all__ = [
+    "fold_constraints",
+    "so3_sync",
+    "translation_rhs",
+    "solve_translations_cg",
+    "solve_translations_lsqr",
+    "SyncResult",
+]
+
+
+class SyncResult(NamedTuple):
+    """Output of :func:`so3_sync` (all world-frame, like bipgo.py:343-350)."""
+
+    r_cam: jnp.ndarray  # (C, 3, 3) world-frame camera rotations
+    r_time: jnp.ndarray  # (T, 3, 3) world-frame object rotations per timestep
+    evals: jnp.ndarray  # (5,) final eigenvalues nearest -1e-6 (diagnostics)
+    eigengap: jnp.ndarray  # |evals[3]/evals[2]| of the final iteration
+    num_iters: jnp.ndarray  # iterations actually executed
+
+
+def fold_constraints(R_e, k_r, marker_idx, R_con, root_idx, agg_inverse, num_pairs):
+    """Fold marker constraints into per-(c,t) aggregated rotation blocks.
+
+    Math (bipgo.py:209-221): per edge ``kr_c0 = k_r * R_edge @ R_m^T @ R_0``;
+    blocks and weights are *summed* (not averaged) over all markers the camera
+    saw in that frame.
+
+    Returns ``(M, W)``: (P,3,3) aggregated blocks and (P,) summed weights.
+    """
+    R0 = R_con[root_idx]
+    Rm = R_con[marker_idx]  # (E,3,3)
+    kr = k_r[:, None, None] * jnp.einsum("eij,ekj,kl->eil", R_e, Rm, R0)
+    M = jax.ops.segment_sum(kr, agg_inverse, num_segments=num_pairs)
+    W = jax.ops.segment_sum(k_r, agg_inverse, num_segments=num_pairs)
+    return M, W
+
+
+def _power_graph(B3, lbd_t):
+    """Dense power graph ``R~`` from the block tensor.
+
+    ``B3``: (C, 3, T, 3) with ``B3[i, :, t, :] = M_{it}``;
+    ``lbd_t``: (T, 3, 3) block-diagonal time dual.
+    Returns (3C, 3C).  The contraction is one MXU matmul:
+    ``R~[i a, j c] = sum_{t b d} M_it[a,b] lbd_t[b,d] M_jt[c,d]``
+    (bipgo.py:273,334 — without materializing any 3Tx3T matrix).
+    """
+    C = B3.shape[0]
+    Y = jnp.einsum("iatb,tbd->iatd", B3, lbd_t)
+    R = jnp.einsum("iatd,jctd->iajc", Y, B3)
+    return R.reshape(3 * C, 3 * C)
+
+
+def _add_block_diag(dense, blocks):
+    """Add (C,3,3) blocks onto the 3x3 diagonal blocks of a (3C,3C) matrix."""
+    C = blocks.shape[0]
+    L = dense.reshape(C, 3, C, 3)
+    idx = jnp.arange(C)
+    L = L.at[idx, :, idx, :].add(blocks)
+    return L.reshape(3 * C, 3 * C)
+
+
+def _bottom5_like_arpack(L):
+    """Eigen-pairs nearest sigma = -1e-6, mimicking shift-invert ARPACK.
+
+    The reference calls ``scipy.sparse.linalg.eigs(L, k=5, sigma=-1e-6)``
+    (bipgo.py:288), which returns the 5 eigenvalues closest to sigma in
+    increasing ``|lambda - sigma|`` order.  We take the full symmetric
+    eigendecomposition (3C is small) and re-order.  The Laplacian is
+    normalized by its largest diagonal entry before ``eigh`` for f32 accuracy
+    (eigenvectors unchanged; eigenvalues rescaled back).
+    """
+    scale = jnp.maximum(jnp.max(jnp.abs(jnp.diagonal(L))), 1e-30)
+    evals, evecs = jnp.linalg.eigh(L / scale)
+    evals = evals * scale
+    order = jnp.argsort(jnp.abs(evals + 1e-6))
+    sel = order[:5]
+    return evals[sel], evecs[:, sel]
+
+
+@partial(jax.jit, static_argnames=("C", "T"))
+def so3_sync(
+    M,
+    W,
+    pair_cam,
+    pair_time,
+    *,
+    C: int,
+    T: int,
+    maxiter,
+    cert_tol=1e-6,
+) -> SyncResult:
+    """Primal-dual SO(3) synchronization over the camera power graph.
+
+    Faithful to ``large_bipartite_so3sync`` (bipgo.py:145-350): same
+    initialization (degree duals), same update order (primal rounding ->
+    camera dual via SVD of ``R~ r`` -> time dual via SVD of ``R_ct^T r`` ->
+    power-graph refresh), same certificate (max |eval| <= cert_tol checked at
+    the top of each iteration, bipgo.py:283-284).
+
+    Parameters are the output of :func:`fold_constraints` plus the (c,t)
+    indices of the aggregated pairs.  ``maxiter`` may be a traced scalar.
+    """
+    dtype = M.dtype
+    P = M.shape[0]
+
+    # Degrees (bipgo.py:271-276).  Time degrees feed Lambda_T^0 = deg_t^-1 I;
+    # the camera power-graph degree reduces analytically to the camera degree.
+    deg_t = jax.ops.segment_sum(W, pair_time, num_segments=T)
+    deg_c = jax.ops.segment_sum(W, pair_cam, num_segments=C)
+
+    # Loop-invariant block tensor B3[i,:,t,:] = M_{it}  (scatter once).
+    B = jnp.zeros((C, 3, T, 3), dtype=dtype)
+    B = B.at[pair_cam, :, pair_time, :].add(M)
+    B3 = B
+
+    eye3 = jnp.eye(3, dtype=dtype)
+    lbd_t0 = eye3 / jnp.maximum(deg_t, 1e-30)[:, None, None]
+    lbd_c0 = deg_c[:, None, None] * eye3
+
+    def cond(state):
+        it, max_eval, *_ = state
+        return (it < maxiter) & (max_eval > cert_tol)
+
+    def body(state):
+        it, _, lbd_c, lbd_t, _, _, _, _ = state
+
+        # Laplacian of the current power graph (bipgo.py:285-286 /
+        # refresh at :334 folded into the loop top).
+        pwr = _power_graph(B3, lbd_t)
+        L = _add_block_diag(-pwr, lbd_c)
+        L = 0.5 * (L + L.T)
+
+        evals5, V5 = _bottom5_like_arpack(L)
+        eigengap = jnp.abs(evals5[3] / evals5[2])
+        max_eval = jnp.max(jnp.abs(evals5))
+
+        # Primal rounding (bipgo.py:295-297): anchor gauge to block 0, then
+        # project every 3x3 block onto SO(3).
+        V3 = V5[:, :3]
+        r = V3 @ jnp.linalg.inv(V3[:3, :3])
+        r_blocks = project_so3(r.reshape(C, 3, 3))
+
+        # Camera dual update (bipgo.py:300-315): SVD of (R~ r) blocks.
+        rtr = (pwr @ r_blocks.reshape(3 * C, 3)).reshape(C, 3, 3)
+        r_c, u, s, _ = svd3_so3(rtr)
+        lbd_c_new = jnp.einsum("cab,cb,cdb->cad", u, s, u)
+
+        # Time dual update (bipgo.py:317-332): SVD of (R_ct^T r) blocks,
+        # built per aggregated pair with a segment sum.
+        y = jnp.einsum("pba,pbc->pac", M, r_c[pair_cam])
+        rt_raw = jax.ops.segment_sum(y, pair_time, num_segments=T)
+        r_t, ut, st, _ = svd3_so3(rt_raw)
+        lbd_t_new = jnp.einsum("tab,tb,tdb->tad", ut, 1.0 / jnp.maximum(st, 1e-30), ut)
+
+        return (it + 1, max_eval, lbd_c_new, lbd_t_new, r_c, r_t, evals5, eigengap)
+
+    init = (
+        jnp.zeros((), jnp.int32),
+        jnp.asarray(1.0, dtype),
+        lbd_c0,
+        lbd_t0,
+        jnp.broadcast_to(eye3, (C, 3, 3)),
+        jnp.broadcast_to(eye3, (T, 3, 3)),
+        jnp.zeros((5,), dtype),
+        jnp.asarray(0.0, dtype),
+    )
+    it, _, _, _, r_c, r_t, evals5, eigengap = lax.while_loop(cond, body, init)
+
+    # World-frame output = transposed blocks (bipgo.py:343-350).
+    return SyncResult(
+        r_cam=jnp.swapaxes(r_c, -1, -2),
+        r_time=jnp.swapaxes(r_t, -1, -2),
+        evals=evals5,
+        eigengap=eigengap,
+        num_iters=it,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Translation stage (bipgo.py:420-481)
+# ---------------------------------------------------------------------------
+
+
+def translation_rhs(
+    r_cam, r_time, t_e, k_t, cam_idx, time_idx, marker_idx, R_con, t_con, root_idx
+):
+    """Per-edge translation measurements ``t~`` (bipgo.py:449-455).
+
+    ``t~_e = k_t (R^w_c t_e + R^w_t R_0^T R_m t_{m->0})`` with
+    ``t_{m->0} = -R_m^T (t_m - t_0)`` from the constraint poses.
+    """
+    R0 = R_con[root_idx]
+    t0 = t_con[root_idx]
+    Rm = R_con[marker_idx]  # (E,3,3)
+    tm = t_con[marker_idx]  # (E,3)
+    r0m = jnp.einsum("ji,ejk->eik", R0, Rm)  # R_0^T R_m
+    tm0 = jnp.einsum("eji,ej->ei", Rm, t0 - tm)  # (constraints[m]^-1 @ constraints[root]).t()
+    term_c = jnp.einsum("eij,ej->ei", r_cam[cam_idx], t_e)
+    term_t = jnp.einsum("eij,ejk,ek->ei", r_time[time_idx], r0m, tm0)
+    return k_t[:, None] * (term_c + term_t)
+
+
+def _normal_matvec(x, k_t2, cam_idx, time_idx, C, T):
+    """Matvec of ``A^T A`` for the stacked incidence system (bipgo.py:457-469).
+
+    ``A`` has one 3-row block per edge: ``-k_t I`` at the camera node and
+    ``+k_t I`` at the time node; nodes are ordered cameras then times.
+    """
+    xc, xt = x[:C], x[C:]
+    z = k_t2[:, None] * (xt[time_idx] - xc[cam_idx])
+    out_c = -jax.ops.segment_sum(z, cam_idx, num_segments=C)
+    out_t = jax.ops.segment_sum(z, time_idx, num_segments=T)
+    return jnp.concatenate([out_c, out_t], axis=0)
+
+
+@partial(jax.jit, static_argnames=("C", "T", "maxiter"))
+def solve_translations_cg(
+    t_tilde, k_t, cam_idx, time_idx, *, C: int, T: int, tol=1e-5, maxiter=None
+):
+    """Conjugate gradient on the normal equations (bipgo.py:476-478).
+
+    Matches SciPy semantics: solve ``A^T A x = A^T b`` from ``x0 = 0`` with
+    relative tolerance ``tol``.  The system is singular (global translation
+    gauge) but consistent — CG stays in the range space, like the reference.
+    Returns ``(x, rel_residual)``; convergence is surfaced, not asserted.
+    """
+    atb_c = -jax.ops.segment_sum(k_t[:, None] * t_tilde, cam_idx, num_segments=C)
+    atb_t = jax.ops.segment_sum(k_t[:, None] * t_tilde, time_idx, num_segments=T)
+    b = jnp.concatenate([atb_c, atb_t], axis=0)
+    k_t2 = k_t * k_t
+    mv = lambda x: _normal_matvec(x, k_t2, cam_idx, time_idx, C, T)
+    x, _ = jax.scipy.sparse.linalg.cg(mv, b, tol=tol, maxiter=maxiter)
+    res = jnp.linalg.norm(mv(x) - b) / jnp.maximum(jnp.linalg.norm(b), 1e-30)
+    return x, res
+
+
+@partial(jax.jit, static_argnames=("C", "T", "maxiter"))
+def solve_translations_lsqr(
+    t_tilde, k_t, cam_idx, time_idx, *, C: int, T: int, atol=1e-8, btol=1e-8, maxiter=None
+):
+    """Jitted LSQR (Paige & Saunders) on the incidence operator.
+
+    Replaces the reference's "direct" path (``scipy.sparse.linalg.lsqr``,
+    bipgo.py:479-480 — itself an iterative Golub-Kahan method) without ever
+    materializing A.  Stops on the standard LSQR residual tests.
+    """
+    E = t_tilde.shape[0]
+    N = C + T
+    if maxiter is None:
+        maxiter = 2 * N
+
+    def A(x):  # (N,3) -> (E,3)
+        return k_t[:, None] * (x[C:][time_idx] - x[:C][cam_idx])
+
+    def At(y):  # (E,3) -> (N,3)
+        ky = k_t[:, None] * y
+        return jnp.concatenate(
+            [
+                -jax.ops.segment_sum(ky, cam_idx, num_segments=C),
+                jax.ops.segment_sum(ky, time_idx, num_segments=T),
+            ],
+            axis=0,
+        )
+
+    # LSQR treats the 3 coordinate columns of the rhs independently; running
+    # them as one blocked iteration shares the matvecs... but the scalar
+    # recurrences (alpha, beta) differ per column, so we vmap the whole
+    # bidiagonalization over the coordinate axis instead.
+    def lsqr_1d(b):
+        beta0 = jnp.linalg.norm(b)
+        u = b / jnp.maximum(beta0, 1e-30)
+        v0 = At_col(u)
+        alpha0 = jnp.linalg.norm(v0)
+        v = v0 / jnp.maximum(alpha0, 1e-30)
+        w = v
+        x = jnp.zeros((N,), b.dtype)
+
+        # Stopping follows SciPy's lsqr test 2: ||A^T r|| <= atol * ||A|| *
+        # ||r||, with ||A|| accumulated as sqrt(sum alpha^2 + beta^2).
+        # Running past Krylov exhaustion (alpha -> 0 on rank-deficient
+        # incidence systems) makes the recurrences diverge, so this test is
+        # load-bearing, not an optimization.
+        def cond_fn(s):
+            i, x, u, v, w, alpha, phibar, rhobar, anorm2, normar = s
+            anorm = jnp.sqrt(anorm2)
+            return (i < maxiter) & (
+                normar > atol * anorm * jnp.abs(phibar) + 1e-30
+            )
+
+        def body_fn(s):
+            i, x, u, v, w, alpha, phibar, rhobar, anorm2, _ = s
+            u1 = A_col(v) - alpha * u
+            beta = jnp.linalg.norm(u1)
+            u1 = u1 / jnp.maximum(beta, 1e-30)
+            v1 = At_col(u1) - beta * v
+            alpha1 = jnp.linalg.norm(v1)
+            v1 = v1 / jnp.maximum(alpha1, 1e-30)
+            rho = jnp.sqrt(rhobar * rhobar + beta * beta)
+            c = rhobar / jnp.maximum(rho, 1e-30)
+            sgn = beta / jnp.maximum(rho, 1e-30)
+            theta = sgn * alpha1
+            rhobar1 = -c * alpha1
+            phi = c * phibar
+            phibar1 = sgn * phibar
+            x1 = x + (phi / jnp.maximum(rho, 1e-30)) * w
+            w1 = v1 - (theta / jnp.maximum(rho, 1e-30)) * w
+            anorm2_1 = anorm2 + alpha * alpha + beta * beta
+            normar = jnp.abs(phibar1) * alpha1 * jnp.abs(c)
+            return (i + 1, x1, u1, v1, w1, alpha1, phibar1, rhobar1, anorm2_1, normar)
+
+        init = (
+            jnp.zeros((), jnp.int32),
+            x,
+            u,
+            v,
+            w,
+            alpha0,
+            beta0,
+            alpha0,
+            alpha0 * alpha0,
+            alpha0 * beta0,
+        )
+        out = lax.while_loop(cond_fn, body_fn, init)
+        return out[1]
+
+    # Column-wise operators for the vmapped scalar LSQR.
+    def A_col(x):
+        return k_t * (x[C:][time_idx] - x[:C][cam_idx])
+
+    def At_col(y):
+        ky = k_t * y
+        return jnp.concatenate(
+            [
+                -jax.ops.segment_sum(ky, cam_idx, num_segments=C),
+                jax.ops.segment_sum(ky, time_idx, num_segments=T),
+            ]
+        )
+
+    x_cols = jax.vmap(lsqr_1d, in_axes=1, out_axes=1)(t_tilde)
+    res = jnp.linalg.norm(At(A(x_cols) - t_tilde)) / jnp.maximum(
+        jnp.linalg.norm(At(t_tilde)), 1e-30
+    )
+    return x_cols, res
