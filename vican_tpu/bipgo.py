@@ -79,15 +79,20 @@ def _sync_packed(packed: PackedProblem, maxiter, dtype, tm: PhaseTimer):
         ev["sync"] = (M, W)
 
     with tm.phase("Optimizing") as ev:
-        result = _core.so3_sync(
-            M,
-            W,
-            jnp.asarray(packed.agg_cam),
-            jnp.asarray(packed.agg_time),
-            C=packed.num_cams,
-            T=packed.num_times,
-            maxiter=jnp.asarray(maxiter, jnp.int32),
-        )
+        import jax
+
+        # eigh/svd on TPU lower to matmul-based iterations; full f32
+        # precision there is load-bearing for the kernel eigenvectors.
+        with jax.default_matmul_precision("highest"):
+            result = _core.so3_sync(
+                M,
+                W,
+                jnp.asarray(packed.agg_cam),
+                jnp.asarray(packed.agg_time),
+                C=packed.num_cams,
+                T=packed.num_times,
+                maxiter=jnp.asarray(maxiter, jnp.int32),
+            )
         ev["sync"] = result
     tm.log(
         "Iterations: {}  evals: {}  eigengap: {:1.3e}".format(

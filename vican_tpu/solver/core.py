@@ -36,6 +36,10 @@ from jax import lax
 
 from ..ops.lie import svd3_so3, project_so3
 
+# TPU matmuls default to bf16-accumulation passes (~2.6e-3 relative error);
+# the solver's graph products and eigensolve need true f32 throughout.
+HIGHEST = lax.Precision.HIGHEST
+
 __all__ = [
     "fold_constraints",
     "so3_sync",
@@ -67,7 +71,7 @@ def fold_constraints(R_e, k_r, marker_idx, R_con, root_idx, agg_inverse, num_pai
     """
     R0 = R_con[root_idx]
     Rm = R_con[marker_idx]  # (E,3,3)
-    kr = k_r[:, None, None] * jnp.einsum("eij,ekj,kl->eil", R_e, Rm, R0)
+    kr = k_r[:, None, None] * jnp.einsum("eij,ekj,kl->eil", R_e, Rm, R0, precision=HIGHEST)
     M = jax.ops.segment_sum(kr, agg_inverse, num_segments=num_pairs)
     W = jax.ops.segment_sum(k_r, agg_inverse, num_segments=num_pairs)
     return M, W
@@ -83,8 +87,8 @@ def _power_graph(B3, lbd_t):
     (bipgo.py:273,334 — without materializing any 3Tx3T matrix).
     """
     C = B3.shape[0]
-    Y = jnp.einsum("iatb,tbd->iatd", B3, lbd_t)
-    R = jnp.einsum("iatd,jctd->iajc", Y, B3)
+    Y = jnp.einsum("iatb,tbd->iatd", B3, lbd_t, precision=HIGHEST)
+    R = jnp.einsum("iatd,jctd->iajc", Y, B3, precision=HIGHEST)
     return R.reshape(3 * C, 3 * C)
 
 
@@ -175,20 +179,20 @@ def so3_sync(
         # Primal rounding (bipgo.py:295-297): anchor gauge to block 0, then
         # project every 3x3 block onto SO(3).
         V3 = V5[:, :3]
-        r = V3 @ jnp.linalg.inv(V3[:3, :3])
+        r = jnp.matmul(V3, jnp.linalg.inv(V3[:3, :3]), precision=HIGHEST)
         r_blocks = project_so3(r.reshape(C, 3, 3))
 
         # Camera dual update (bipgo.py:300-315): SVD of (R~ r) blocks.
-        rtr = (pwr @ r_blocks.reshape(3 * C, 3)).reshape(C, 3, 3)
+        rtr = jnp.matmul(pwr, r_blocks.reshape(3 * C, 3), precision=HIGHEST).reshape(C, 3, 3)
         r_c, u, s, _ = svd3_so3(rtr)
-        lbd_c_new = jnp.einsum("cab,cb,cdb->cad", u, s, u)
+        lbd_c_new = jnp.einsum("cab,cb,cdb->cad", u, s, u, precision=HIGHEST)
 
         # Time dual update (bipgo.py:317-332): SVD of (R_ct^T r) blocks,
         # built per aggregated pair with a segment sum.
-        y = jnp.einsum("pba,pbc->pac", M, r_c[pair_cam])
+        y = jnp.einsum("pba,pbc->pac", M, r_c[pair_cam], precision=HIGHEST)
         rt_raw = jax.ops.segment_sum(y, pair_time, num_segments=T)
         r_t, ut, st, _ = svd3_so3(rt_raw)
-        lbd_t_new = jnp.einsum("tab,tb,tdb->tad", ut, 1.0 / jnp.maximum(st, 1e-30), ut)
+        lbd_t_new = jnp.einsum("tab,tb,tdb->tad", ut, 1.0 / jnp.maximum(st, 1e-30), ut, precision=HIGHEST)
 
         return (it + 1, max_eval, lbd_c_new, lbd_t_new, r_c, r_t, evals5, eigengap)
 
@@ -231,10 +235,10 @@ def translation_rhs(
     t0 = t_con[root_idx]
     Rm = R_con[marker_idx]  # (E,3,3)
     tm = t_con[marker_idx]  # (E,3)
-    r0m = jnp.einsum("ji,ejk->eik", R0, Rm)  # R_0^T R_m
-    tm0 = jnp.einsum("eji,ej->ei", Rm, t0 - tm)  # (constraints[m]^-1 @ constraints[root]).t()
-    term_c = jnp.einsum("eij,ej->ei", r_cam[cam_idx], t_e)
-    term_t = jnp.einsum("eij,ejk,ek->ei", r_time[time_idx], r0m, tm0)
+    r0m = jnp.einsum("ji,ejk->eik", R0, Rm, precision=HIGHEST)  # R_0^T R_m
+    tm0 = jnp.einsum("eji,ej->ei", Rm, t0 - tm, precision=HIGHEST)  # (constraints[m]^-1 @ constraints[root]).t()
+    term_c = jnp.einsum("eij,ej->ei", r_cam[cam_idx], t_e, precision=HIGHEST)
+    term_t = jnp.einsum("eij,ejk,ek->ei", r_time[time_idx], r0m, tm0, precision=HIGHEST)
     return k_t[:, None] * (term_c + term_t)
 
 
