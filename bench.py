@@ -1,0 +1,138 @@
+"""Headline benchmark: large_shop-scale bipartite SE(3) sync.
+
+Workload: synthetic camera-network calibration at the reference's large_shop
+scale (hundreds of cameras, 10k timesteps, ~1.2e5 edges — README.md:20),
+solved end-to-end through the public dict API (host packing included, like
+the reference pays for its Python dict loops).
+
+Baseline: the actual reference implementation (NumPy/SciPy, imported
+read-only from /root/reference) on the *same* edge dict, measured once on
+this machine and cached in benchmarks/baseline_cache.json.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <our wall-clock seconds>, "unit": "s",
+   "vs_baseline": <baseline_seconds / our_seconds>}
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+CACHE_PATH = os.path.join(REPO, "benchmarks", "baseline_cache.json")
+REFERENCE = "/root/reference"
+
+CONFIG = dict(seed=0, n_cams=100, n_times=10_000, n_markers=24, n_edges=120_000,
+              kappa_r=1e4, sigma_t=1e-3)
+CONFIG_KEY = "large_shop_synth:" + ",".join(f"{k}={v}" for k, v in sorted(CONFIG.items()))
+
+NOISE_R = lambda e: 1.0
+NOISE_T = lambda e: 1.0
+FILT = lambda e: e["reprojected_err"] < 0.05
+MAXITER = 4
+
+
+def run_ours(prob):
+    from vican_tpu import bipgo
+
+    def once():
+        t0 = time.perf_counter()
+        out = bipgo.bipartite_se3sync(
+            prob.edges, constraints=prob.constraints(),
+            noise_model_r=NOISE_R, noise_model_t=NOISE_T, edge_filter=FILT,
+            maxiter=MAXITER, lsqr_solver="conjugate_gradient",
+            dtype=np.float32, verbose=False,
+        )
+        return time.perf_counter() - t0, out
+
+    _warm, out = once()  # compile + cache shapes
+    t1, out = once()
+    t2, _ = once()
+    return min(t1, t2), _warm, out
+
+
+def run_reference(prob):
+    sys.path.insert(0, REFERENCE)
+    import vican.bipgo as ref_bipgo
+    from vican.geometry import SE3 as RefSE3
+
+    edges = {}
+    for k, v in prob.edges.items():
+        edges[k] = {
+            "pose": RefSE3(R=np.asarray(v["pose"].R(), np.float64),
+                           t=np.asarray(v["pose"].t(), np.float64)),
+            "corners": v["corners"],
+            "reprojected_err": v["reprojected_err"],
+            "im_filename": v["im_filename"],
+        }
+    constraints = {
+        m: RefSE3(R=np.asarray(c.R(), np.float64), t=np.asarray(c.t(), np.float64))
+        for m, c in prob.constraints().items()
+    }
+    import contextlib, io
+
+    t0 = time.perf_counter()
+    with contextlib.redirect_stdout(io.StringIO()), contextlib.redirect_stderr(io.StringIO()):
+        out = ref_bipgo.bipartite_se3sync(
+            edges, constraints=constraints,
+            noise_model_r=NOISE_R, noise_model_t=NOISE_T, edge_filter=FILT,
+            maxiter=MAXITER, lsqr_solver="conjugate_gradient", dtype=np.float32,
+        )
+    return time.perf_counter() - t0, out
+
+
+def accuracy(prob, pose_est):
+    from vican_tpu.geometry import distance_SO3, optimize_gauge_SE3
+
+    valid = [c for c in prob.cams_gt if c in pose_est]
+    G = optimize_gauge_SE3([prob.cams_gt[c].inv() for c in valid],
+                           [pose_est[c].inv() for c in valid])
+    r = [distance_SO3(np.asarray(prob.cams_gt[c].R(), np.float64),
+                      np.asarray((G.inv() @ pose_est[c]).R(), np.float64)) for c in valid]
+    t = [np.linalg.norm(prob.cams_gt[c].t() - (G.inv() @ pose_est[c]).t()) for c in valid]
+    return float(np.mean(r)), float(np.mean(t))
+
+
+def main():
+    from vican_tpu.synthetic import make_problem_arrays
+
+    prob = make_problem_arrays(**CONFIG)
+
+    ours_s, warm_s, ours_out = run_ours(prob)
+    r_err, t_err = accuracy(prob, ours_out)
+
+    cache = {}
+    if os.path.isfile(CACHE_PATH):
+        with open(CACHE_PATH) as f:
+            cache = json.load(f)
+    baseline_s = cache.get(CONFIG_KEY)
+    if baseline_s is None and os.path.isdir(os.path.join(REFERENCE, "vican")):
+        try:
+            baseline_s, _ref_out = run_reference(prob)
+            cache[CONFIG_KEY] = baseline_s
+            os.makedirs(os.path.dirname(CACHE_PATH), exist_ok=True)
+            with open(CACHE_PATH, "w") as f:
+                json.dump(cache, f, indent=1)
+        except Exception as e:  # baseline failure must not kill the bench
+            print(f"# baseline measurement failed: {e!r}", file=sys.stderr)
+
+    vs = (baseline_s / ours_s) if baseline_s else None
+    print(json.dumps({
+        "metric": "large_shop_synth se3sync wall-clock (100 cams, 10k timesteps, 120k edges)",
+        "value": round(ours_s, 4),
+        "unit": "s",
+        "vs_baseline": round(vs, 2) if vs else None,
+        "details": {
+            "first_call_s": round(warm_s, 2),
+            "baseline_scipy_s": round(baseline_s, 2) if baseline_s else None,
+            "rot_err_deg_mean": round(r_err, 5),
+            "trans_err_m_mean": round(t_err, 6),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,61 @@
+"""Multi-chip sharded solver: 8-virtual-device mesh vs single-device parity."""
+import numpy as np
+import jax
+import pytest
+
+from vican_tpu import bipgo
+from vican_tpu.parallel import make_mesh, se3sync_sharded, so3_sync_sharded
+from vican_tpu.solver import core, pack_problem
+from vican_tpu.synthetic import make_problem
+
+
+@pytest.fixture(scope="module")
+def packed():
+    prob = make_problem(seed=11, n_cams=8, n_times=64, n_markers=6, kappa_r=1e5, sigma_t=1e-4)
+    return (
+        prob,
+        pack_problem(prob.edges, prob.constraints(), lambda e: 1.0, lambda e: 1.0, lambda e: True),
+    )
+
+
+def test_mesh_has_8_devices():
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+
+
+def test_so3_sync_sharded_matches_single(packed):
+    prob, p = packed
+    import jax.numpy as jnp
+
+    M, W = core.fold_constraints(
+        jnp.asarray(p.R_e), jnp.asarray(p.k_r), jnp.asarray(p.marker_idx),
+        jnp.asarray(p.R_con), p.root_idx, jnp.asarray(p.agg_inverse), p.num_pairs,
+    )
+    single = core.so3_sync(
+        M, W, jnp.asarray(p.agg_cam), jnp.asarray(p.agg_time),
+        C=p.num_cams, T=p.num_times, maxiter=jnp.asarray(4, jnp.int32),
+    )
+    mesh = make_mesh()
+    sharded = so3_sync_sharded(
+        np.asarray(M), np.asarray(W), p.agg_cam, p.agg_time,
+        C=p.num_cams, T=p.num_times, maxiter=4, mesh=mesh, dtype=np.float64,
+    )
+    assert np.allclose(np.asarray(single.r_cam), np.asarray(sharded.r_cam), atol=1e-8)
+    assert np.allclose(np.asarray(single.r_time), np.asarray(sharded.r_time), atol=1e-8)
+
+
+def test_full_se3sync_sharded_matches_api(packed):
+    prob, p = packed
+    mesh = make_mesh()
+    r_cam, r_time, t_est, res = se3sync_sharded(p, maxiter=4, mesh=mesh, dtype=np.float64)
+    assert res < 1e-3
+
+    pose_est = bipgo.bipartite_se3sync(
+        prob.edges, constraints=prob.constraints(),
+        noise_model_r=lambda e: 1.0, noise_model_t=lambda e: 1.0,
+        edge_filter=lambda e: True, maxiter=4, dtype=np.float64, verbose=False,
+    )
+    for i, c in enumerate(p.cam_ids):
+        assert np.allclose(r_cam[i], np.asarray(pose_est[c].R()), atol=1e-6)
+        # translations agree up to the shared CG tolerance
+        assert np.allclose(t_est[i], pose_est[c].t(), atol=1e-3)
