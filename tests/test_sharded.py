@@ -27,17 +27,17 @@ def test_so3_sync_sharded_matches_single(packed):
     prob, p = packed
     import jax.numpy as jnp
 
-    M, W = core.fold_constraints(
+    KR = core.fold_constraints(
         jnp.asarray(p.R_e), jnp.asarray(p.k_r), jnp.asarray(p.marker_idx),
-        jnp.asarray(p.R_con), p.root_idx, jnp.asarray(p.agg_inverse), p.num_pairs,
+        jnp.asarray(p.R_con), p.root_idx,
     )
     single = core.so3_sync(
-        M, W, jnp.asarray(p.agg_cam), jnp.asarray(p.agg_time),
+        KR, jnp.asarray(p.k_r), jnp.asarray(p.cam_idx), jnp.asarray(p.time_idx),
         C=p.num_cams, T=p.num_times, maxiter=jnp.asarray(4, jnp.int32),
     )
     mesh = make_mesh()
     sharded = so3_sync_sharded(
-        np.asarray(M), np.asarray(W), p.agg_cam, p.agg_time,
+        np.asarray(KR), p.k_r, p.cam_idx, p.time_idx,
         C=p.num_cams, T=p.num_times, maxiter=4, mesh=mesh, dtype=np.float64,
     )
     assert np.allclose(np.asarray(single.r_cam), np.asarray(sharded.r_cam), atol=1e-8)

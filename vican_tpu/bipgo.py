@@ -12,8 +12,8 @@ Drop-in equivalents of the reference entry points (vican/bipgo.py):
 Same edge-dict schema, same callable hooks (``noise_model_r/t``,
 ``edge_filter`` evaluated per edge on the host), same output conventions
 (world-frame poses keyed by camera id and ``"<t>_0"``).  The compute runs as
-jitted JAX on the accelerator; see :mod:`vican_tpu.solver.core` for the
-TPU-native redesign notes.
+one fused jitted program on the accelerator; see
+:mod:`vican_tpu.solver.core` for the TPU-native redesign notes.
 """
 from __future__ import annotations
 
@@ -40,8 +40,8 @@ def _solver_dtype(dtype):
 
     The reference runs object calibration in float64 (main.ipynb cell 3).
     TPUs have no native f64; if x64 is unavailable we compute in f32 and warn
-    (the normalized eigensolve keeps f32 well within the 1e-3 target — see
-    tests/test_solver.py parity suite).
+    (the HIGHEST-precision eigensolve keeps f32 within the 1e-3 parity target
+    — see tests/test_solver.py).
     """
     import jax
 
@@ -57,49 +57,20 @@ def _solver_dtype(dtype):
     return dtype
 
 
-def _sync_packed(packed: PackedProblem, maxiter, dtype, tm: PhaseTimer):
-    """Run the device SO(3) sync on an already-packed problem."""
+def _device_arrays(packed: PackedProblem, dtype):
     import jax.numpy as jnp
 
-    tm.log(
-        "Bipartite graph: {} cameras, {} timesteps, {} edges.".format(
-            packed.num_cams, packed.num_times, packed.num_pairs
-        )
+    return dict(
+        R_e=jnp.asarray(packed.R_e, dtype),
+        t_e=jnp.asarray(packed.t_e, dtype),
+        k_r=jnp.asarray(packed.k_r, dtype),
+        k_t=jnp.asarray(packed.k_t, dtype),
+        cam_idx=jnp.asarray(packed.cam_idx),
+        time_idx=jnp.asarray(packed.time_idx),
+        marker_idx=jnp.asarray(packed.marker_idx),
+        R_con=jnp.asarray(packed.R_con, dtype),
+        t_con=jnp.asarray(packed.t_con, dtype),
     )
-    with tm.phase("Building power graph") as ev:
-        M, W = _core.fold_constraints(
-            jnp.asarray(packed.R_e, dtype),
-            jnp.asarray(packed.k_r, dtype),
-            jnp.asarray(packed.marker_idx),
-            jnp.asarray(packed.R_con, dtype),
-            packed.root_idx,
-            jnp.asarray(packed.agg_inverse),
-            packed.num_pairs,
-        )
-        ev["sync"] = (M, W)
-
-    with tm.phase("Optimizing") as ev:
-        import jax
-
-        # eigh/svd on TPU lower to matmul-based iterations; full f32
-        # precision there is load-bearing for the kernel eigenvectors.
-        with jax.default_matmul_precision("highest"):
-            result = _core.so3_sync(
-                M,
-                W,
-                jnp.asarray(packed.agg_cam),
-                jnp.asarray(packed.agg_time),
-                C=packed.num_cams,
-                T=packed.num_times,
-                maxiter=jnp.asarray(maxiter, jnp.int32),
-            )
-        ev["sync"] = result
-    tm.log(
-        "Iterations: {}  evals: {}  eigengap: {:1.3e}".format(
-            int(result.num_iters), np.asarray(result.evals), float(result.eigengap)
-        )
-    )
-    return result
 
 
 def large_bipartite_so3sync(
@@ -118,6 +89,9 @@ def large_bipartite_so3sync(
     (an SE3 whose rotation is camera->marker).  Returns world-frame rotations
     keyed by camera id and ``"<t>_0"``.
     """
+    import jax
+    import jax.numpy as jnp
+
     dtype = _solver_dtype(dtype)
     tm = PhaseTimer(verbose=verbose)
     tm.log(
@@ -126,8 +100,32 @@ def large_bipartite_so3sync(
         )
     )
     with tm.phase("Applying constraints"):
-        packed = pack_problem(src_edges, constraints, noise_model, lambda e: 1.0, edge_filter)
-    result = _sync_packed(packed, maxiter, dtype, tm)
+        packed = pack_problem(
+            src_edges, constraints, noise_model, lambda e: 1.0, edge_filter, dtype=dtype
+        )
+    tm.log(
+        "Bipartite graph: {} cameras, {} timesteps, {} edges.".format(
+            packed.num_cams, packed.num_times, packed.num_edges
+        )
+    )
+    arrs = _device_arrays(packed, dtype)
+    with tm.phase("Optimizing") as ev:
+        with jax.default_matmul_precision("highest"):
+            KR = _core.fold_constraints(
+                arrs["R_e"], arrs["k_r"], arrs["marker_idx"], arrs["R_con"], packed.root_idx
+            )
+            result = _core.so3_sync(
+                KR, arrs["k_r"], arrs["cam_idx"], arrs["time_idx"],
+                C=packed.num_cams, T=packed.num_times,
+                maxiter=jnp.asarray(maxiter, jnp.int32),
+            )
+        ev["sync"] = result
+    if verbose:
+        tm.log(
+            "Iterations: {}  evals: {}  eigengap: {:1.3e}".format(
+                int(result.num_iters), np.asarray(result.evals), float(result.eigengap)
+            )
+        )
 
     r_cam = np.asarray(result.r_cam)
     r_time = np.asarray(result.r_time)
@@ -165,6 +163,7 @@ def bipartite_se3sync(
     Returns ``{node: SE3}`` world-frame poses for cameras and ``"<t>_0"``
     object nodes.
     """
+    import jax
     import jax.numpy as jnp
 
     dtype = _solver_dtype(dtype)
@@ -175,49 +174,77 @@ def bipartite_se3sync(
         )
     )
     with tm.phase("Applying constraints"):
-        packed = pack_problem(src_edges, constraints, noise_model_r, noise_model_t, edge_filter)
-
-    result = _sync_packed(packed, maxiter, dtype, tm)
-
-    with tm.phase("Building sparse incidence system") as ev:
-        k_t = jnp.asarray(packed.k_t, dtype)
-        cam_idx = jnp.asarray(packed.cam_idx)
-        time_idx = jnp.asarray(packed.time_idx)
-        t_tilde = _core.translation_rhs(
-            result.r_cam.astype(dtype),
-            result.r_time.astype(dtype),
-            jnp.asarray(packed.t_e, dtype),
-            k_t,
-            cam_idx,
-            time_idx,
-            jnp.asarray(packed.marker_idx),
-            jnp.asarray(packed.R_con, dtype),
-            jnp.asarray(packed.t_con, dtype),
-            packed.root_idx,
+        packed = pack_problem(
+            src_edges, constraints, noise_model_r, noise_model_t, edge_filter, dtype=dtype
         )
-        ev["sync"] = t_tilde
+    tm.log(
+        "Bipartite graph: {} cameras, {} timesteps, {} edges.".format(
+            packed.num_cams, packed.num_times, packed.num_edges
+        )
+    )
 
-    with tm.phase("Solving sparse linear system") as ev:
-        C, T = packed.num_cams, packed.num_times
-        if lsqr_solver == "conjugate_gradient":
-            t_est, res = _core.solve_translations_cg(t_tilde, k_t, cam_idx, time_idx, C=C, T=T)
-        elif lsqr_solver == "direct":
-            t_est, res = _core.solve_translations_lsqr(t_tilde, k_t, cam_idx, time_idx, C=C, T=T)
-        else:
-            raise ValueError(f"unknown lsqr_solver: {lsqr_solver!r}")
-        ev["sync"] = t_est
+    arrs = _device_arrays(packed, dtype)
+    C, T = packed.num_cams, packed.num_times
+
+    with tm.phase("Optimizing + solving (fused device program)") as ev:
+        with jax.default_matmul_precision("highest"):
+            poses44 = None
+            if lsqr_solver == "conjugate_gradient":
+                result, poses44, res = _core.se3sync_full(
+                    arrs["R_e"], arrs["t_e"], arrs["k_r"], arrs["k_t"],
+                    arrs["cam_idx"], arrs["time_idx"], arrs["marker_idx"],
+                    arrs["R_con"], arrs["t_con"],
+                    root_idx=packed.root_idx, C=C, T=T,
+                    maxiter=jnp.asarray(maxiter, jnp.int32),
+                )
+            elif lsqr_solver == "direct":
+                KR = _core.fold_constraints(
+                    arrs["R_e"], arrs["k_r"], arrs["marker_idx"], arrs["R_con"],
+                    packed.root_idx,
+                )
+                result = _core.so3_sync(
+                    KR, arrs["k_r"], arrs["cam_idx"], arrs["time_idx"],
+                    C=C, T=T, maxiter=jnp.asarray(maxiter, jnp.int32),
+                )
+                t_tilde = _core.translation_rhs(
+                    result.r_cam.astype(dtype), result.r_time.astype(dtype),
+                    arrs["t_e"], arrs["k_t"], arrs["cam_idx"], arrs["time_idx"],
+                    arrs["marker_idx"], arrs["R_con"], arrs["t_con"], packed.root_idx,
+                )
+                t_est, res = _core.solve_translations_lsqr(
+                    t_tilde, arrs["k_t"], arrs["cam_idx"], arrs["time_idx"], C=C, T=T
+                )
+            else:
+                raise ValueError(f"unknown lsqr_solver: {lsqr_solver!r}")
+        ev["sync"] = (result, poses44 if poses44 is not None else t_est)
+    if verbose:
+        tm.log(
+            "Iterations: {}  evals: {}  eigengap: {:1.3e}".format(
+                int(result.num_iters), np.asarray(result.evals), float(result.eigengap)
+            )
+        )
     res = float(res)
     if res > 1e-3:
         warnings.warn(f"translation solve residual {res:.3e} (poorly converged)")
 
-    r_cam = np.asarray(result.r_cam)
-    r_time = np.asarray(result.r_time)
-    t_est = np.asarray(t_est)
     out = {}
-    for i, c in enumerate(packed.cam_ids):
-        out[c] = SE3(R=r_cam[i], t=t_est[i])
-    for j, t in enumerate(packed.time_ids):
-        out[t + "_0"] = SE3(R=r_time[j], t=t_est[packed.num_cams + j])
+    if poses44 is not None:
+        poses44 = np.asarray(poses44)
+        # SE3(R=, t=) keeps the solver dtype (the pose= ctor casts to float32,
+        # which through arccos cancellation would cap rotation accuracy at
+        # ~0.02 deg — the reference's outputs keep full precision too).
+        for i, c in enumerate(packed.cam_ids):
+            out[c] = SE3(R=poses44[i, :3, :3], t=poses44[i, :3, 3])
+        for j, t in enumerate(packed.time_ids):
+            out[t + "_0"] = SE3(R=poses44[C + j, :3, :3], t=poses44[C + j, :3, 3])
+    else:
+        r_cam = np.asarray(result.r_cam)
+        r_time = np.asarray(result.r_time)
+        t_est = np.asarray(t_est)
+        for i, c in enumerate(packed.cam_ids):
+            out[c] = SE3(R=r_cam[i], t=t_est[i])
+        for j, t in enumerate(packed.time_ids):
+            out[t + "_0"] = SE3(R=r_time[j], t=t_est[C + j])
     tm.log("Done!")
     return out
 

@@ -3,27 +3,25 @@
 Strategy (the TPU-native replacement for the reference's single-host SciPy
 pipeline — see SURVEY.md §2.3):
 
-- Edge/pair arrays are sharded across the mesh's ``"edges"`` axis; camera
+- Per-edge arrays are sharded across the mesh's ``"edges"`` axis; camera
   state (r_c, Lambda_C, the 3Cx3C power graph and its eigendecomposition) is
   replicated — it is tiny by design, that is the whole point of the
   power-graph elimination.
-- The block tensor ``B3`` is sharded over the T (timestep) axis, so each chip
-  holds only its slice of the big axis; the power-graph contraction becomes a
-  local einsum plus an all-reduce (``psum``) of 3Cx3C partials over ICI.
-- Time-node state (Lambda_T blocks, r_t) stays sharded over T; the per-time
-  3x3 SVDs are embarrassingly parallel on the sharded axis.
-- The translation CG shards the per-edge matvec terms and the time-node block
-  of the solution; camera-node segments all-reduce.
+- The block tensor ``B`` scatter and the T-axis intermediates partition over
+  the mesh; the power-graph contraction becomes a local einsum plus an
+  all-reduce of 3Cx3C partials over ICI.
+- Time-node state (Lambda_T blocks, r_t) and the per-time 3x3 SVDs are
+  embarrassingly parallel on the T axis.
+- The translation CG shards the per-edge matvec terms; camera-node segments
+  all-reduce.
 
-Implementation uses ``jit`` with explicit ``NamedSharding`` on inputs plus
-``with_sharding_constraint`` on the big intermediates, letting XLA place the
-collectives (GSPMD).  This reuses :mod:`vican_tpu.solver.core` unchanged —
-the solver is written shape-statically, so the sharded build is the same
-program partitioned differently.
+Implementation uses ``jit`` with explicit ``NamedSharding`` on the inputs,
+letting XLA (GSPMD) place the collectives.  This reuses
+:mod:`vican_tpu.solver.core` unchanged — the solver is written
+shape-statically, so the sharded build is the same program partitioned
+differently.
 """
 from __future__ import annotations
-
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -51,86 +49,84 @@ def _put(mesh, x, spec):
     return jax.device_put(x, NamedSharding(mesh, spec))
 
 
-def so3_sync_sharded(M, W, pair_cam, pair_time, *, C, T, maxiter, mesh, dtype=np.float32):
-    """Sharded SO(3) sync: edges sharded, camera block replicated.
+def _shard_edges(packed, mesh, dtype):
+    """Pad per-edge arrays to the mesh size and place them sharded.
 
-    Padding: edge arrays are padded with zero weights/blocks (a zero edge
-    contributes nothing to any segment sum), T is left as-is (the scatter
-    target is sharded by constraint inside the jitted program).
+    Zero-weight padding edges contribute nothing to any scatter-add, so
+    correctness is unaffected (k_r = k_t = 0, R_e = 0).
     """
     n = mesh.devices.size
-    M = pad_to_multiple(np.asarray(M, dtype), n)
-    W = pad_to_multiple(np.asarray(W, dtype), n)
-    pair_cam = pad_to_multiple(np.asarray(pair_cam, np.int32), n)
-    pair_time = pad_to_multiple(np.asarray(pair_time, np.int32), n)
+    return dict(
+        R_e=_put(mesh, pad_to_multiple(np.asarray(packed.R_e, dtype), n), P(EDGE_AXIS, None, None)),
+        t_e=_put(mesh, pad_to_multiple(np.asarray(packed.t_e, dtype), n), P(EDGE_AXIS, None)),
+        k_r=_put(mesh, pad_to_multiple(np.asarray(packed.k_r, dtype), n), P(EDGE_AXIS)),
+        k_t=_put(mesh, pad_to_multiple(np.asarray(packed.k_t, dtype), n), P(EDGE_AXIS)),
+        cam_idx=_put(mesh, pad_to_multiple(np.asarray(packed.cam_idx, np.int32), n), P(EDGE_AXIS)),
+        time_idx=_put(mesh, pad_to_multiple(np.asarray(packed.time_idx, np.int32), n), P(EDGE_AXIS)),
+        marker_idx=_put(mesh, pad_to_multiple(np.asarray(packed.marker_idx, np.int32), n), P(EDGE_AXIS)),
+        R_con=jnp.asarray(packed.R_con, dtype),
+        t_con=jnp.asarray(packed.t_con, dtype),
+    )
+
+
+def so3_sync_sharded(KR, k_r, cam_idx, time_idx, *, C, T, maxiter, mesh, dtype=np.float32):
+    """Sharded SO(3) sync: edges sharded, camera block replicated."""
+    n = mesh.devices.size
+    KR = pad_to_multiple(np.asarray(KR, dtype), n)
+    k_r = pad_to_multiple(np.asarray(k_r, dtype), n)
+    cam_idx = pad_to_multiple(np.asarray(cam_idx, np.int32), n)
+    time_idx = pad_to_multiple(np.asarray(time_idx, np.int32), n)
 
     with jax.default_matmul_precision("highest"):
         with mesh:
-            result = core.so3_sync(
-                _put(mesh, M, P(EDGE_AXIS, None, None)),
-                _put(mesh, W, P(EDGE_AXIS)),
-                _put(mesh, pair_cam, P(EDGE_AXIS)),
-                _put(mesh, pair_time, P(EDGE_AXIS)),
+            return core.so3_sync(
+                _put(mesh, KR, P(EDGE_AXIS, None, None)),
+                _put(mesh, k_r, P(EDGE_AXIS)),
+                _put(mesh, cam_idx, P(EDGE_AXIS)),
+                _put(mesh, time_idx, P(EDGE_AXIS)),
                 C=C,
                 T=T,
                 maxiter=jnp.asarray(maxiter, jnp.int32),
             )
-    return result
 
 
 def se3sync_sharded(packed, *, maxiter, mesh, dtype=np.float32, lsqr_solver="conjugate_gradient"):
     """Full sharded SE(3) sync from a :class:`PackedProblem`.
 
-    Returns ``(r_cam, r_time, t_est)`` as host arrays (cameras first in
-    ``t_est``, then time nodes — same layout as the single-chip path).
+    Returns ``(r_cam, r_time, t_est, cg_residual)`` as host arrays (cameras
+    first in ``t_est``, then time nodes — same layout as the single-chip
+    path).
     """
-    from ..solver.core import fold_constraints, translation_rhs
-
-    n = mesh.devices.size
     C, T = packed.num_cams, packed.num_times
-
-    R_e = pad_to_multiple(np.asarray(packed.R_e, dtype), n)
-    k_r = pad_to_multiple(np.asarray(packed.k_r, dtype), n)
-    marker_idx = pad_to_multiple(np.asarray(packed.marker_idx, np.int32), n)
-    agg_inverse = pad_to_multiple(np.asarray(packed.agg_inverse, np.int32), n)
+    arrs = _shard_edges(packed, mesh, dtype)
 
     with jax.default_matmul_precision("highest"):
         with mesh:
-            M, W = fold_constraints(
-                _put(mesh, R_e, P(EDGE_AXIS, None, None)),
-                _put(mesh, k_r, P(EDGE_AXIS)),
-                _put(mesh, marker_idx, P(EDGE_AXIS)),
-                jnp.asarray(packed.R_con, dtype),
-                packed.root_idx,
-                _put(mesh, agg_inverse, P(EDGE_AXIS)),
-                packed.num_pairs,
-            )
-            result = so3_sync_sharded(
-                np.asarray(M), np.asarray(W), packed.agg_cam, packed.agg_time,
-                C=C, T=T, maxiter=maxiter, mesh=mesh, dtype=dtype,
-            )
-
-            k_t = _put(mesh, pad_to_multiple(np.asarray(packed.k_t, dtype), n), P(EDGE_AXIS))
-            cam_idx = _put(mesh, pad_to_multiple(np.asarray(packed.cam_idx, np.int32), n), P(EDGE_AXIS))
-            time_idx = _put(mesh, pad_to_multiple(np.asarray(packed.time_idx, np.int32), n), P(EDGE_AXIS))
-            t_e = _put(mesh, pad_to_multiple(np.asarray(packed.t_e, dtype), n), P(EDGE_AXIS, None))
-            m_idx = _put(mesh, marker_idx, P(EDGE_AXIS))
-
-            t_tilde = translation_rhs(
-                result.r_cam.astype(dtype),
-                result.r_time.astype(dtype),
-                t_e,
-                k_t,
-                cam_idx,
-                time_idx,
-                m_idx,
-                jnp.asarray(packed.R_con, dtype),
-                jnp.asarray(packed.t_con, dtype),
-                packed.root_idx,
-            )
             if lsqr_solver == "conjugate_gradient":
-                t_est, res = core.solve_translations_cg(t_tilde, k_t, cam_idx, time_idx, C=C, T=T)
+                result, poses44, res = core.se3sync_full(
+                    arrs["R_e"], arrs["t_e"], arrs["k_r"], arrs["k_t"],
+                    arrs["cam_idx"], arrs["time_idx"], arrs["marker_idx"],
+                    arrs["R_con"], arrs["t_con"],
+                    root_idx=packed.root_idx, C=C, T=T,
+                    maxiter=jnp.asarray(maxiter, jnp.int32),
+                )
+                t_est = poses44[:, :3, 3]
             else:
-                t_est, res = core.solve_translations_lsqr(t_tilde, k_t, cam_idx, time_idx, C=C, T=T)
+                KR = core.fold_constraints(
+                    arrs["R_e"], arrs["k_r"], arrs["marker_idx"], arrs["R_con"],
+                    packed.root_idx,
+                )
+                result = core.so3_sync(
+                    KR, arrs["k_r"], arrs["cam_idx"], arrs["time_idx"],
+                    C=C, T=T, maxiter=jnp.asarray(maxiter, jnp.int32),
+                )
+                t_tilde = core.translation_rhs(
+                    result.r_cam.astype(dtype), result.r_time.astype(dtype),
+                    arrs["t_e"], arrs["k_t"], arrs["cam_idx"], arrs["time_idx"],
+                    arrs["marker_idx"], arrs["R_con"], arrs["t_con"], packed.root_idx,
+                )
+                t_est, res = core.solve_translations_lsqr(
+                    t_tilde, arrs["k_t"], arrs["cam_idx"], arrs["time_idx"], C=C, T=T
+                )
 
     return np.asarray(result.r_cam), np.asarray(result.r_time), np.asarray(t_est), float(res)

@@ -2,26 +2,34 @@
 
 TPU-first redesign of the reference pipeline (vican/bipgo.py:145-490):
 
-- Constraint folding + (c,t) aggregation (bipgo.py:203-223) -> one batched
-  einsum + ``segment_sum`` instead of an O(E) Python dict loop.
-- The power graph ``R~ = R_ct . Lambda_T . R_ct^T`` (bipgo.py:273,334) is built
-  as a single dense (3C, 3T)x(3T, 3C) matmul on the MXU from a scattered block
-  tensor.  C (number of cameras) is small — hundreds — so the 3Cx3C result is
-  tiny; this replaces SciPy CSR products.
+- Constraint folding (bipgo.py:203-223) -> one batched einsum; the per-(c,t)
+  aggregation the reference does with a Python dict loop happens implicitly in
+  the scatter-add that builds the block tensor ``B`` (duplicate (c,t) indices
+  accumulate).
+- The power graph ``R~ = R_ct . Lambda_T . R_ct^T`` (bipgo.py:273,334) is
+  built as a single dense (3C, 3T)x(3T, 3C) matmul on the MXU from ``B``.
+  C (number of cameras) is small — hundreds — so the 3Cx3C result is tiny;
+  this replaces SciPy CSR products.  The time-dual input ``R_ct^T r``
+  (bipgo.py:318) is likewise one einsum over ``B`` — profiling showed TPU
+  scatter/segment-sum at ~37 ms for (1e5,3,3) blocks vs 0.2 ms for the
+  equivalent contraction, so the only scatter left is the one-time build of B.
 - The bottom-5 eigenpairs (ARPACK shift-invert ``eigs(k=5, sigma=-1e-6)``,
   bipgo.py:288) become a dense ``jnp.linalg.eigh`` of the (normalized) 3Cx3C
   Laplacian; we select the 5 eigenvalues closest to -1e-6 to mirror ARPACK's
   shift-invert ordering exactly.
-- Per-block SVD loops for primal rounding and dual updates
-  (bipgo.py:295-332) -> ``vmap``-batched 3x3 SVDs.
+- Per-block SVD loops for primal rounding and dual updates (bipgo.py:295-332)
+  -> ``vmap``-batched 3x3 SVDs.
 - The primal-dual loop with the optimality-certificate early exit
   (bipgo.py:282-284) -> ``lax.while_loop``.
 - Translation least squares (bipgo.py:434-481): the incidence system is never
   materialized; CG runs on the normal-equation matvec built from two
-  ``segment_sum`` calls, and the "direct" path is a jitted LSQR on the same
-  operators (SciPy's ``lsqr`` is itself iterative).
+  scatter-adds, and the "direct" path is a jitted LSQR on the same operators
+  (SciPy's ``lsqr`` is itself iterative).
+- :func:`se3sync_full` fuses fold -> sync -> rhs -> CG into ONE jitted
+  program: a single dispatch, no intermediate host syncs, full XLA fusion
+  across stages.
 
-Everything in this module is pure jnp on static shapes: jit/vmap/shard_map
+Everything in this module is pure jnp on static shapes: jit/vmap/GSPMD
 compatible.  The host boundary (string parsing, user callables) lives in
 :mod:`vican_tpu.solver.packing`.
 """
@@ -43,6 +51,7 @@ HIGHEST = lax.Precision.HIGHEST
 __all__ = [
     "fold_constraints",
     "so3_sync",
+    "se3sync_full",
     "translation_rhs",
     "solve_translations_cg",
     "solve_translations_lsqr",
@@ -60,21 +69,18 @@ class SyncResult(NamedTuple):
     num_iters: jnp.ndarray  # iterations actually executed
 
 
-def fold_constraints(R_e, k_r, marker_idx, R_con, root_idx, agg_inverse, num_pairs):
-    """Fold marker constraints into per-(c,t) aggregated rotation blocks.
+def fold_constraints(R_e, k_r, marker_idx, R_con, root_idx):
+    """Per-edge constraint folding (bipgo.py:209-213).
 
-    Math (bipgo.py:209-221): per edge ``kr_c0 = k_r * R_edge @ R_m^T @ R_0``;
-    blocks and weights are *summed* (not averaged) over all markers the camera
-    saw in that frame.
-
-    Returns ``(M, W)``: (P,3,3) aggregated blocks and (P,) summed weights.
+    ``kr_c0 = k_r * R_edge @ R_m^T @ R_0`` — the (c,t) aggregation the
+    reference performs in its dict loop (bipgo.py:215-221) happens later in
+    the scatter-add building the block tensor.
     """
     R0 = R_con[root_idx]
     Rm = R_con[marker_idx]  # (E,3,3)
-    kr = k_r[:, None, None] * jnp.einsum("eij,ekj,kl->eil", R_e, Rm, R0, precision=HIGHEST)
-    M = jax.ops.segment_sum(kr, agg_inverse, num_segments=num_pairs)
-    W = jax.ops.segment_sum(k_r, agg_inverse, num_segments=num_pairs)
-    return M, W
+    return k_r[:, None, None] * jnp.einsum(
+        "eij,ekj,kl->eil", R_e, Rm, R0, precision=HIGHEST
+    )
 
 
 def _power_graph(B3, lbd_t):
@@ -120,17 +126,7 @@ def _bottom5_like_arpack(L):
 
 
 @partial(jax.jit, static_argnames=("C", "T"))
-def so3_sync(
-    M,
-    W,
-    pair_cam,
-    pair_time,
-    *,
-    C: int,
-    T: int,
-    maxiter,
-    cert_tol=1e-6,
-) -> SyncResult:
+def so3_sync(KR, k_r, cam_idx, time_idx, *, C: int, T: int, maxiter, cert_tol=1e-6) -> SyncResult:
     """Primal-dual SO(3) synchronization over the camera power graph.
 
     Faithful to ``large_bipartite_so3sync`` (bipgo.py:145-350): same
@@ -139,21 +135,23 @@ def so3_sync(
     power-graph refresh), same certificate (max |eval| <= cert_tol checked at
     the top of each iteration, bipgo.py:283-284).
 
-    Parameters are the output of :func:`fold_constraints` plus the (c,t)
-    indices of the aggregated pairs.  ``maxiter`` may be a traced scalar.
+    Parameters
+    ----------
+    KR : (E, 3, 3) folded edge blocks from :func:`fold_constraints`.
+    k_r : (E,) edge weights.
+    cam_idx, time_idx : (E,) int32 node indices per edge.
+    maxiter : int scalar (may be traced).
     """
-    dtype = M.dtype
-    P = M.shape[0]
+    dtype = KR.dtype
 
     # Degrees (bipgo.py:271-276).  Time degrees feed Lambda_T^0 = deg_t^-1 I;
     # the camera power-graph degree reduces analytically to the camera degree.
-    deg_t = jax.ops.segment_sum(W, pair_time, num_segments=T)
-    deg_c = jax.ops.segment_sum(W, pair_cam, num_segments=C)
+    deg_t = jnp.zeros((T,), dtype).at[time_idx].add(k_r)
+    deg_c = jnp.zeros((C,), dtype).at[cam_idx].add(k_r)
 
-    # Loop-invariant block tensor B3[i,:,t,:] = M_{it}  (scatter once).
-    B = jnp.zeros((C, 3, T, 3), dtype=dtype)
-    B = B.at[pair_cam, :, pair_time, :].add(M)
-    B3 = B
+    # Loop-invariant block tensor B3[i,:,t,:] = sum of folded blocks for
+    # (camera i, time t) — the scatter-add IS the reference's aggregation.
+    B3 = jnp.zeros((C, 3, T, 3), dtype=dtype).at[cam_idx, :, time_idx, :].add(KR)
 
     eye3 = jnp.eye(3, dtype=dtype)
     lbd_t0 = eye3 / jnp.maximum(deg_t, 1e-30)[:, None, None]
@@ -187,12 +185,13 @@ def so3_sync(
         r_c, u, s, _ = svd3_so3(rtr)
         lbd_c_new = jnp.einsum("cab,cb,cdb->cad", u, s, u, precision=HIGHEST)
 
-        # Time dual update (bipgo.py:317-332): SVD of (R_ct^T r) blocks,
-        # built per aggregated pair with a segment sum.
-        y = jnp.einsum("pba,pbc->pac", M, r_c[pair_cam], precision=HIGHEST)
-        rt_raw = jax.ops.segment_sum(y, pair_time, num_segments=T)
+        # Time dual update (bipgo.py:317-332): SVD of (R_ct^T r) blocks.
+        # One contraction over B3 — r_t[t] = sum_i M_it^T r_c[i].
+        rt_raw = jnp.einsum("iatb,iac->tbc", B3, r_c, precision=HIGHEST)
         r_t, ut, st, _ = svd3_so3(rt_raw)
-        lbd_t_new = jnp.einsum("tab,tb,tdb->tad", ut, 1.0 / jnp.maximum(st, 1e-30), ut, precision=HIGHEST)
+        lbd_t_new = jnp.einsum(
+            "tab,tb,tdb->tad", ut, 1.0 / jnp.maximum(st, 1e-30), ut, precision=HIGHEST
+        )
 
         return (it + 1, max_eval, lbd_c_new, lbd_t_new, r_c, r_t, evals5, eigengap)
 
@@ -236,7 +235,7 @@ def translation_rhs(
     Rm = R_con[marker_idx]  # (E,3,3)
     tm = t_con[marker_idx]  # (E,3)
     r0m = jnp.einsum("ji,ejk->eik", R0, Rm, precision=HIGHEST)  # R_0^T R_m
-    tm0 = jnp.einsum("eji,ej->ei", Rm, t0 - tm, precision=HIGHEST)  # (constraints[m]^-1 @ constraints[root]).t()
+    tm0 = jnp.einsum("eji,ej->ei", Rm, t0 - tm, precision=HIGHEST)
     term_c = jnp.einsum("eij,ej->ei", r_cam[cam_idx], t_e, precision=HIGHEST)
     term_t = jnp.einsum("eij,ejk,ek->ei", r_time[time_idx], r0m, tm0, precision=HIGHEST)
     return k_t[:, None] * (term_c + term_t)
@@ -250,9 +249,25 @@ def _normal_matvec(x, k_t2, cam_idx, time_idx, C, T):
     """
     xc, xt = x[:C], x[C:]
     z = k_t2[:, None] * (xt[time_idx] - xc[cam_idx])
-    out_c = -jax.ops.segment_sum(z, cam_idx, num_segments=C)
-    out_t = jax.ops.segment_sum(z, time_idx, num_segments=T)
+    out_c = -jnp.zeros((C, 3), x.dtype).at[cam_idx].add(z)
+    out_t = jnp.zeros((T, 3), x.dtype).at[time_idx].add(z)
     return jnp.concatenate([out_c, out_t], axis=0)
+
+
+def _translation_normal_rhs(t_tilde, k_t, cam_idx, time_idx, C, T):
+    kt = k_t[:, None] * t_tilde
+    atb_c = -jnp.zeros((C, 3), t_tilde.dtype).at[cam_idx].add(kt)
+    atb_t = jnp.zeros((T, 3), t_tilde.dtype).at[time_idx].add(kt)
+    return jnp.concatenate([atb_c, atb_t], axis=0)
+
+
+def _cg(t_tilde, k_t, cam_idx, time_idx, C, T, tol, maxiter):
+    b = _translation_normal_rhs(t_tilde, k_t, cam_idx, time_idx, C, T)
+    k_t2 = k_t * k_t
+    mv = lambda x: _normal_matvec(x, k_t2, cam_idx, time_idx, C, T)
+    x, _ = jax.scipy.sparse.linalg.cg(mv, b, tol=tol, maxiter=maxiter)
+    res = jnp.linalg.norm(mv(x) - b) / jnp.maximum(jnp.linalg.norm(b), 1e-30)
+    return x, res
 
 
 @partial(jax.jit, static_argnames=("C", "T", "maxiter"))
@@ -266,14 +281,48 @@ def solve_translations_cg(
     gauge) but consistent — CG stays in the range space, like the reference.
     Returns ``(x, rel_residual)``; convergence is surfaced, not asserted.
     """
-    atb_c = -jax.ops.segment_sum(k_t[:, None] * t_tilde, cam_idx, num_segments=C)
-    atb_t = jax.ops.segment_sum(k_t[:, None] * t_tilde, time_idx, num_segments=T)
-    b = jnp.concatenate([atb_c, atb_t], axis=0)
-    k_t2 = k_t * k_t
-    mv = lambda x: _normal_matvec(x, k_t2, cam_idx, time_idx, C, T)
-    x, _ = jax.scipy.sparse.linalg.cg(mv, b, tol=tol, maxiter=maxiter)
-    res = jnp.linalg.norm(mv(x) - b) / jnp.maximum(jnp.linalg.norm(b), 1e-30)
-    return x, res
+    return _cg(t_tilde, k_t, cam_idx, time_idx, C, T, tol, maxiter)
+
+
+@partial(jax.jit, static_argnames=("C", "T"))
+def se3sync_full(
+    R_e,
+    t_e,
+    k_r,
+    k_t,
+    cam_idx,
+    time_idx,
+    marker_idx,
+    R_con,
+    t_con,
+    *,
+    root_idx,
+    C: int,
+    T: int,
+    maxiter,
+    cg_tol=1e-5,
+):
+    """Fused device program: fold -> SO(3) sync -> translation rhs -> CG.
+
+    One dispatch for the whole of ``bipartite_se3sync``'s device work; returns
+    ``(SyncResult, t_est (C+T, 3), cg_residual)``.
+    """
+    KR = fold_constraints(R_e, k_r, marker_idx, R_con, root_idx)
+    result = so3_sync(KR, k_r, cam_idx, time_idx, C=C, T=T, maxiter=maxiter)
+    t_tilde = translation_rhs(
+        result.r_cam, result.r_time, t_e, k_t, cam_idx, time_idx,
+        marker_idx, R_con, t_con, root_idx,
+    )
+    t_est, res = _cg(t_tilde, k_t, cam_idx, time_idx, C, T, cg_tol, None)
+    # Single packed (C+T, 4, 4) pose output: one device->host transfer
+    # instead of three (the tunnel is latency/bandwidth bound).
+    N = C + T
+    poses = jnp.zeros((N, 4, 4), R_e.dtype)
+    poses = poses.at[:, 3, 3].set(1.0)
+    poses = poses.at[:C, :3, :3].set(result.r_cam)
+    poses = poses.at[C:, :3, :3].set(result.r_time)
+    poses = poses.at[:, :3, 3].set(t_est)
+    return result, poses, res
 
 
 @partial(jax.jit, static_argnames=("C", "T", "maxiter"))
@@ -298,16 +347,14 @@ def solve_translations_lsqr(
         ky = k_t[:, None] * y
         return jnp.concatenate(
             [
-                -jax.ops.segment_sum(ky, cam_idx, num_segments=C),
-                jax.ops.segment_sum(ky, time_idx, num_segments=T),
+                -jnp.zeros((C, 3), y.dtype).at[cam_idx].add(ky),
+                jnp.zeros((T, 3), y.dtype).at[time_idx].add(ky),
             ],
             axis=0,
         )
 
-    # LSQR treats the 3 coordinate columns of the rhs independently; running
-    # them as one blocked iteration shares the matvecs... but the scalar
-    # recurrences (alpha, beta) differ per column, so we vmap the whole
-    # bidiagonalization over the coordinate axis instead.
+    # LSQR's scalar recurrences (alpha, beta) differ per coordinate column, so
+    # the whole bidiagonalization is vmapped over the 3 coordinate axes.
     def lsqr_1d(b):
         beta0 = jnp.linalg.norm(b)
         u = b / jnp.maximum(beta0, 1e-30)
@@ -325,9 +372,7 @@ def solve_translations_lsqr(
         def cond_fn(s):
             i, x, u, v, w, alpha, phibar, rhobar, anorm2, normar = s
             anorm = jnp.sqrt(anorm2)
-            return (i < maxiter) & (
-                normar > atol * anorm * jnp.abs(phibar) + 1e-30
-            )
+            return (i < maxiter) & (normar > atol * anorm * jnp.abs(phibar) + 1e-30)
 
         def body_fn(s):
             i, x, u, v, w, alpha, phibar, rhobar, anorm2, _ = s
@@ -373,8 +418,8 @@ def solve_translations_lsqr(
         ky = k_t * y
         return jnp.concatenate(
             [
-                -jax.ops.segment_sum(ky, cam_idx, num_segments=C),
-                jax.ops.segment_sum(ky, time_idx, num_segments=T),
+                -jnp.zeros((C,), y.dtype).at[cam_idx].add(ky),
+                jnp.zeros((T,), y.dtype).at[time_idx].add(ky),
             ]
         )
 

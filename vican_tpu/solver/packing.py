@@ -11,7 +11,7 @@ this boundary is jittable device code (:mod:`vican_tpu.solver.core`).
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Callable
 
 import numpy as np
@@ -29,10 +29,9 @@ class PackedProblem:
     - ``R_e``/``t_e``: the measured camera->marker SE(3) edge pose
     - ``k_r``/``k_t``: rotation/translation noise-model weights
 
-    Aggregation (bipgo.py:203-223 semantics: all markers seen by camera c at
-    time t fold into one (c,t) edge) is precomputed as ``agg_inverse`` mapping
-    edges to ``num_pairs`` unique (c,t) cells with indices ``agg_cam`` /
-    ``agg_time``.
+    The reference's per-(c,t) aggregation (bipgo.py:215-221) needs no host
+    precomputation: the device scatter-add that builds the block tensor
+    accumulates duplicate (camera, time) cells.
     """
 
     cam_ids: list[str]
@@ -50,10 +49,6 @@ class PackedProblem:
     R_con: np.ndarray
     t_con: np.ndarray
     root_idx: int
-    # (c,t) aggregation
-    agg_inverse: np.ndarray = field(default=None)
-    agg_cam: np.ndarray = field(default=None)
-    agg_time: np.ndarray = field(default=None)
 
     @property
     def num_cams(self) -> int:
@@ -67,12 +62,10 @@ class PackedProblem:
     def num_edges(self) -> int:
         return int(self.R_e.shape[0])
 
-    @property
-    def num_pairs(self) -> int:
-        return int(self.agg_cam.shape[0])
 
-
-def pack_constraints(constraints: dict) -> tuple[list[str], np.ndarray, np.ndarray, int]:
+def pack_constraints(
+    constraints: dict, dtype=np.float64
+) -> tuple[list[str], np.ndarray, np.ndarray, int]:
     """Constraint dict -> (marker order, R stack, t stack, root index).
 
     Root selection mirrors the reference exactly: ``str(min(keys))`` — a
@@ -81,9 +74,9 @@ def pack_constraints(constraints: dict) -> tuple[list[str], np.ndarray, np.ndarr
     marker_ids = list(constraints.keys())
     root_key = str(min(marker_ids))
     order = {m: i for i, m in enumerate(marker_ids)}
-    R_con = np.stack([np.asarray(constraints[m].R(), dtype=np.float64) for m in marker_ids])
+    R_con = np.stack([np.asarray(constraints[m].R(), dtype=dtype) for m in marker_ids])
     t_con = np.stack(
-        [np.asarray(constraints[m].t(), dtype=np.float64).reshape(3) for m in marker_ids]
+        [np.asarray(constraints[m].t(), dtype=dtype).reshape(3) for m in marker_ids]
     )
     return marker_ids, R_con, t_con, order[root_key]
 
@@ -94,6 +87,7 @@ def pack_problem(
     noise_model_r: Callable,
     noise_model_t: Callable,
     edge_filter: Callable,
+    dtype=np.float64,
 ) -> PackedProblem:
     """Filter + parse the edge dict into a :class:`PackedProblem`.
 
@@ -102,51 +96,59 @@ def pack_problem(
     order of the raw id strings — required for bit-parity of the gauge anchor
     (the eigenvector normalization pins the gauge to node 0, bipgo.py:295).
     """
-    cam_set: set[str] = set()
-    time_set: set[str] = set()
-    kept: list[tuple[str, str, str, dict]] = []
-    for (c, tm), v in src_edges.items():
-        if edge_filter(v):
-            t, m = tm.split("_")
-            kept.append((c, t, m, v))
-            cam_set.add(c)
-            time_set.add(t)
-
-    if not kept:
-        raise ValueError("edge_filter removed every edge; nothing to synchronize")
-
-    cam_ids = sorted(cam_set)
-    time_ids = sorted(time_set)
-    cam2idx = {c: i for i, c in enumerate(cam_ids)}
-    time2idx = {t: i for i, t in enumerate(time_ids)}
-
-    marker_ids, R_con, t_con, root_idx = pack_constraints(constraints)
+    marker_ids, R_con, t_con, root_idx = pack_constraints(constraints, dtype)
     marker2idx = {m: i for i, m in enumerate(marker_ids)}
 
-    E = len(kept)
-    R_e = np.empty((E, 3, 3), dtype=np.float64)
-    t_e = np.empty((E, 3), dtype=np.float64)
-    k_r = np.empty((E,), dtype=np.float64)
-    k_t = np.empty((E,), dtype=np.float64)
-    cam_idx = np.empty((E,), dtype=np.int32)
-    time_idx = np.empty((E,), dtype=np.int32)
-    marker_idx = np.empty((E,), dtype=np.int32)
+    fastpack = None
+    if np.dtype(dtype) == np.float32:
+        from .._native import get_fastpack
 
-    for i, (c, t, m, v) in enumerate(kept):
-        pose = v["pose"]
-        R_e[i] = pose.R()
-        t_e[i] = np.asarray(pose.t()).reshape(3)
-        k_r[i] = noise_model_r(v)
-        k_t[i] = noise_model_t(v)
-        cam_idx[i] = cam2idx[c]
-        time_idx[i] = time2idx[t]
-        marker_idx[i] = marker2idx[m]
+        fastpack = get_fastpack()
 
-    # Unique (camera, time) cells for the constraint-folding aggregation.
-    pair_key = cam_idx.astype(np.int64) * len(time_ids) + time_idx
-    uniq, agg_inverse = np.unique(pair_key, return_inverse=True)
-    agg_cam = (uniq // len(time_ids)).astype(np.int32)
-    agg_time = (uniq % len(time_ids)).astype(np.int32)
+    if fastpack is not None:
+        # C path: filtering, key parsing and array fills run natively; only
+        # the user callables execute in the interpreter.
+        kept_vals, cams, times, markers, krs, kts = fastpack.pack_edges(
+            src_edges, edge_filter, noise_model_r, noise_model_t, marker2idx
+        )
+        if not kept_vals:
+            raise ValueError("edge_filter removed every edge; nothing to synchronize")
+        E = len(kept_vals)
+        poses = [v["pose"] for v in kept_vals]
+        pose44 = np.empty((E, 16), dtype=np.float32)
+        fastpack.fill_f32(pose44, poses, "_pose", 16)
+        pose44 = pose44.reshape(E, 4, 4)
+        R_e = np.ascontiguousarray(pose44[:, :3, :3])
+        t_e = np.ascontiguousarray(pose44[:, :3, 3])
+        k_r = np.asarray(krs, dtype=dtype)
+        k_t = np.asarray(kts, dtype=dtype)
+        marker_idx = np.asarray(markers, dtype=np.int32)
+    else:
+        # Pure-Python path (also the float64 path); identical output —
+        # tests/test_packing.py cross-checks the two.
+        kept = [(k, v) for k, v in src_edges.items() if edge_filter(v)]
+        if not kept:
+            raise ValueError("edge_filter removed every edge; nothing to synchronize")
+        cams = [k[0] for k, _ in kept]
+        tms = [k[1].split("_") for k, _ in kept]
+        times = [tm[0] for tm in tms]
+        markers = [tm[1] for tm in tms]
+        poses = [v["pose"] for _, v in kept]
+        # Arrays are built directly in the solver dtype: host->device
+        # transfers are bandwidth-bound, and a separate f64 staging pass
+        # doubles both the conversion time and the bytes shipped.
+        R_e = np.array([p._R for p in poses], dtype=dtype)
+        t_e = np.array([p._t for p in poses], dtype=dtype).reshape(-1, 3)
+        k_r = np.array([noise_model_r(v) for _, v in kept], dtype=dtype)
+        k_t = np.array([noise_model_t(v) for _, v in kept], dtype=dtype)
+        marker_idx = np.array([marker2idx[m] for m in markers], dtype=np.int32)
+
+    cam_ids = sorted(set(cams))
+    time_ids = sorted(set(times))
+    cam2idx = {c: i for i, c in enumerate(cam_ids)}
+    time2idx = {t: i for i, t in enumerate(time_ids)}
+    cam_idx = np.array([cam2idx[c] for c in cams], dtype=np.int32)
+    time_idx = np.array([time2idx[t] for t in times], dtype=np.int32)
 
     return PackedProblem(
         cam_ids=cam_ids,
@@ -162,7 +164,4 @@ def pack_problem(
         R_con=R_con,
         t_con=t_con,
         root_idx=root_idx,
-        agg_inverse=agg_inverse.astype(np.int32),
-        agg_cam=agg_cam,
-        agg_time=agg_time,
     )
