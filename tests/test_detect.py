@@ -1,0 +1,173 @@
+"""Marker detection kernels vs the OpenCV oracle and ground truth."""
+import numpy as np
+import pytest
+
+cv = pytest.importorskip("cv2")
+
+import jax
+import jax.numpy as jnp
+
+from vican_tpu.ops import detect
+from vican_tpu.ops.dictionary import get_dictionary, marker_bits_table
+
+DICT = "DICT_4X4_1000"
+
+
+@pytest.fixture(scope="module")
+def table():
+    return jnp.asarray(marker_bits_table(DICT))
+
+
+@pytest.fixture(scope="module")
+def cv_dict():
+    return cv.aruco.getPredefinedDictionary(cv.aruco.DICT_4X4_1000)
+
+
+class TestPreprocess:
+    def test_reference_formula_parity(self):
+        rng = np.random.default_rng(0)
+        im = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+        b, c = -150, 120
+        # reference math (cam.py:137-145)
+        ref = np.int16(im)
+        ref = ref * (c / 127 + 1) - c
+        ref = ref + b
+        ref = np.clip(ref, 0, 255)
+        ref = np.uint8(ref)
+        ref_gray = cv.cvtColor(ref, cv.COLOR_BGR2GRAY)
+        ours = np.asarray(detect.preprocess(jnp.asarray(im), b, c))
+        assert np.abs(ours - ref_gray).max() <= 1.0  # rounding-mode slack
+
+    def test_identity_when_zero(self):
+        rng = np.random.default_rng(1)
+        im = rng.integers(0, 256, size=(16, 16), dtype=np.uint8)
+        ours = np.asarray(detect.preprocess(jnp.asarray(im)))
+        assert np.array_equal(ours, im.astype(np.float32))
+
+
+class TestThreshold:
+    def test_matches_cv_adaptive_threshold(self):
+        rng = np.random.default_rng(2)
+        im = rng.integers(0, 256, size=(64, 80), dtype=np.uint8)
+        for win in (3, 9, 13):
+            ref = cv.adaptiveThreshold(
+                im, 255, cv.ADAPTIVE_THRESH_MEAN_C, cv.THRESH_BINARY_INV, win, 10
+            )
+            ours = np.asarray(detect.adaptive_threshold(jnp.asarray(im, jnp.float32), win, 10.0))
+            agree = (ours == (ref > 0)).mean()
+            assert agree > 0.98, (win, agree)  # boundary rounding differences only
+
+
+class TestCCL:
+    def test_two_blobs(self):
+        fg = np.zeros((32, 32), bool)
+        fg[4:10, 4:10] = True
+        fg[20:28, 15:25] = True
+        labels = np.asarray(detect.connected_components(jnp.asarray(fg), 8))
+        l1 = labels[5, 5]
+        l2 = labels[22, 18]
+        assert l1 != l2
+        assert (labels[4:10, 4:10] == l1).all()
+        assert (labels[20:28, 15:25] == l2).all()
+        assert (labels[0, 0] == int(detect.BIG))
+
+    def test_ring_component(self):
+        fg = np.zeros((40, 40), bool)
+        fg[5:35, 5:35] = True
+        fg[10:30, 10:30] = False  # hollow ring like a marker border
+        labels = np.asarray(detect.connected_components(jnp.asarray(fg), 10))
+        ring_labels = np.unique(labels[fg])
+        assert len(ring_labels) == 1
+
+
+def compose_scene(cv_dict, specs, shape=(360, 480), bg=170):
+    """Paste markers into a gray image; returns (img, {id: gt_corners})."""
+    img = np.full(shape, bg, np.uint8)
+    gt = {}
+    for mid, size, (y, x), rot in specs:
+        m = cv_dict.generateImageMarker(mid, size)
+        m = np.rot90(m, k=rot)
+        img[y : y + size, x : x + size] = m
+        # physical corner positions (pixel-edge convention), canonical order
+        tl = np.array([x - 0.5, y - 0.5])
+        quad = np.array([tl, tl + [size, 0], tl + [size, size], tl + [0, size]])
+        gt[mid] = np.roll(quad, rot, axis=0)  # rotated paste moves canonical TL
+    return img, gt
+
+
+class TestDetectMarkers:
+    def test_scene_ids_and_corners(self, table, cv_dict):
+        img, gt = compose_scene(
+            cv_dict,
+            [(7, 96, (40, 60), 0), (42, 72, (200, 300), 1), (0, 36, (60, 380), 0)],
+        )
+        out = detect.detect_markers(
+            detect.preprocess(jnp.asarray(img)), table, 4, detect.DetectorParams()
+        )
+        v = np.asarray(out.valid)
+        found = {int(i): np.asarray(c) for i, c, ok in zip(out.ids, out.corners, v) if ok}
+        assert set(found) == set(gt)
+        for mid, quad_gt in gt.items():
+            err = np.abs(found[mid] - quad_gt).max()
+            assert err < 0.35, (mid, err, found[mid], quad_gt)
+
+    def test_agrees_with_cv_detector(self, table, cv_dict):
+        img, _ = compose_scene(
+            cv_dict, [(3, 80, (30, 30), 0), (999, 60, (250, 380), 2), (500, 48, (150, 200), 3)]
+        )
+        params_cv = cv.aruco.DetectorParameters()
+        params_cv.cornerRefinementMethod = cv.aruco.CORNER_REFINE_APRILTAG
+        cs, ids, _ = cv.aruco.ArucoDetector(cv_dict, params_cv).detectMarkers(img)
+        cv_ids = set(ids.ravel().tolist())
+        out = detect.detect_markers(
+            detect.preprocess(jnp.asarray(img)), table, 4, detect.DetectorParams()
+        )
+        v = np.asarray(out.valid)
+        ours = {int(i) for i, ok in zip(out.ids, v) if ok}
+        assert ours == cv_ids
+        # corner agreement within the 0.5px convention offset + refinement slack
+        cv_map = {int(i): c.squeeze() for c, i in zip(cs, ids.ravel())}
+        our_map = {int(i): np.asarray(c) for i, c, ok in zip(out.ids, out.corners, v) if ok}
+        for mid in cv_ids:
+            err = np.abs(our_map[mid] + 0.5 - cv_map[mid]).max()
+            assert err < 0.6, (mid, err)
+
+    def test_warped_marker_subpixel(self, table, cv_dict):
+        N = 120
+        marker = cv_dict.generateImageMarker(11, N)
+        sq = np.array([[0, 0], [N, 0], [N, N], [0, N]], np.float32)
+        ang = np.deg2rad(33)
+        R = np.array([[np.cos(ang), -np.sin(ang)], [np.sin(ang), np.cos(ang)]])
+        dst = (((sq - sq.mean(0)) @ R.T) * 0.9 + np.array([240, 180])).astype(np.float32)
+        H = cv.getPerspectiveTransform(sq, dst)
+        img = np.full((360, 480), 170, np.uint8)
+        img = cv.warpPerspective(marker, H, (480, 360), img, borderMode=cv.BORDER_TRANSPARENT)
+        p = np.concatenate([sq - 0.5, np.ones((4, 1), np.float32)], 1) @ H.T
+        gt = p[:, :2] / p[:, 2:]
+        out = detect.detect_markers(
+            detect.preprocess(jnp.asarray(img)), table, 4, detect.DetectorParams()
+        )
+        v = np.asarray(out.valid)
+        found = {int(i): np.asarray(c) for i, c, ok in zip(out.ids, out.corners, v) if ok}
+        assert 11 in found
+        assert np.abs(found[11] - gt).max() < 0.3
+
+    def test_empty_image(self, table):
+        img = np.full((240, 320), 128, np.uint8)
+        out = detect.detect_markers(
+            detect.preprocess(jnp.asarray(img)), table, 4, detect.DetectorParams()
+        )
+        assert not np.asarray(out.valid).any()
+
+    def test_preprocessed_dark_scene(self, table, cv_dict):
+        """Reference uses brightness=-150, contrast=120 (main.ipynb cell 3)."""
+        img, gt = compose_scene(cv_dict, [(5, 90, (100, 100), 0)], bg=200)
+        # simulate an over-bright render; preprocessing should normalize it
+        bright = np.clip(img.astype(np.int32) + 60, 0, 255).astype(np.uint8)
+        out = detect.detect_markers(
+            detect.preprocess(jnp.asarray(bright), -150, 120), table, 4,
+            detect.DetectorParams(),
+        )
+        v = np.asarray(out.valid)
+        found = {int(i) for i, ok in zip(out.ids, v) if ok}
+        assert 5 in found

@@ -1,0 +1,117 @@
+"""End-to-end perception: rendered images -> edges -> full calibration.
+
+This is BASELINE config 4 in miniature: a marker cube moving through a small
+camera network, rendered to JPEGs, detected + PnP'd on device, then solved
+with bipartite_se3sync, with camera poses checked against ground truth.
+"""
+import numpy as np
+import pytest
+
+cv = pytest.importorskip("cv2")
+
+from vican_tpu.cam import Camera, estimate_pose_mp
+from vican_tpu.dataset import Dataset
+from vican_tpu.geometry import SE3, distance_SO3, rodrigues
+from vican_tpu.render import look_at, make_cube_markers, render_dataset
+
+MARKER_SIZE = 0.138
+
+
+@pytest.fixture(scope="module")
+def rendered(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("render") / "ds")
+    rng = np.random.default_rng(3)
+    K = np.array([[420.0, 0, 320], [0, 420.0, 180], [0, 0, 1]])
+    cams = {}
+    for i, pos in enumerate([(2.4, 0, 1.2), (0, 2.4, 1.4), (-2.4, 0.5, 1.0)]):
+        cams[str(i)] = Camera(
+            id=str(i), intrinsics=K, distortion=np.zeros(12),
+            extrinsics=look_at(pos, (0, 0, 1.0)), resolution_x=640, resolution_y=360,
+        )
+    markers = make_cube_markers()
+    traj = {}
+    for t in range(10):
+        v = rng.normal(size=3)
+        v = v / np.linalg.norm(v) * rng.uniform(0, np.pi)
+        traj[str(t)] = SE3(
+            R=rodrigues(v),
+            t=np.array([rng.uniform(-0.4, 0.4), rng.uniform(-0.4, 0.4), 1.0 + rng.uniform(-0.2, 0.2)]),
+        )
+    render_dataset(root, cams, traj, markers, marker_size=MARKER_SIZE, marker_px=120)
+    return root, markers
+
+
+@pytest.fixture(scope="module")
+def edges(rendered):
+    root, markers = rendered
+    ds = Dataset(root)
+    out = estimate_pose_mp(
+        im_filenames=ds.im_data["filename"],
+        cams=ds.im_data["cam"],
+        aruco="DICT_4X4_1000",
+        marker_size=MARKER_SIZE,
+        corner_refine="CORNER_REFINE_APRILTAG",
+        marker_ids=[str(i) for i in range(24)],
+        flags="SOLVEPNP_IPPE_SQUARE",
+        brightness=0,
+        contrast=0,
+        batch_size=10,
+        verbose=False,
+    )
+    return ds, markers, out
+
+
+class TestEndToEnd:
+    def test_edges_cover_scene(self, edges):
+        ds, markers, e = edges
+        assert len(e) > 60
+        cams_seen = {k[0] for k in e}
+        assert cams_seen == {"0", "1", "2"}
+
+    def test_edge_pose_quality_after_filter(self, edges):
+        ds, markers, e = edges
+        errs_r, errs_t = [], []
+        for (c, tm), v in e.items():
+            if v["reprojected_err"] >= 0.1:  # the tutorial's object-calib gate
+                continue
+            t, m = tm.split("_")
+            gt = ds.cams[c].extrinsics.inv() @ ds.object[t] @ markers[m]
+            errs_r.append(
+                distance_SO3(np.asarray(v["pose"].R(), np.float64), np.asarray(gt.R(), np.float64))
+            )
+            errs_t.append(np.linalg.norm(v["pose"].t() - gt.t()))
+        errs_r, errs_t = np.array(errs_r), np.array(errs_t)
+        assert len(errs_r) > 40
+        # medians are robust to residual planar-ambiguity outliers
+        assert np.median(errs_r) < 2.0, np.median(errs_r)
+        assert np.median(errs_t) < 0.02, np.median(errs_t)
+
+    def test_full_calibration_recovers_cameras(self, edges):
+        from vican_tpu import bipgo
+        from vican_tpu.geometry import optimize_gauge_SE3
+        from vican_tpu.ops.shoelace import polygon_area
+        ds, markers, e = edges
+        pose_est = bipgo.bipartite_se3sync(
+            e,
+            constraints=dict(markers),
+            noise_model_r=lambda edge: 0.001 * polygon_area(edge["corners"]) ** 1.0,
+            noise_model_t=lambda edge: 0.001 * polygon_area(edge["corners"]) ** 2.0,
+            edge_filter=lambda edge: edge["reprojected_err"] < 0.15,
+            maxiter=4,
+            lsqr_solver="conjugate_gradient",
+            dtype=np.float64,
+            verbose=False,
+        )
+        valid = [c for c in ds.cams if c in pose_est]
+        assert len(valid) == 3
+        G = optimize_gauge_SE3(
+            [ds.cams[c].extrinsics.inv() for c in valid], [pose_est[c].inv() for c in valid]
+        )
+        r_err, t_err = [], []
+        for c in valid:
+            gt = ds.cams[c].extrinsics
+            est = G.inv() @ pose_est[c]
+            r_err.append(distance_SO3(np.asarray(gt.R(), np.float64), np.asarray(est.R(), np.float64)))
+            t_err.append(np.linalg.norm(gt.t() - est.t()))
+        assert np.mean(r_err) < 1.5, r_err
+        assert np.mean(t_err) < 0.05, t_err

@@ -1,0 +1,474 @@
+"""ArUco marker detection as fixed-shape device code.
+
+Replaces OpenCV's ``cv.aruco.detectMarkers`` C++ pipeline (reference
+vican/cam.py:147 with the tuned parameters at cam.py:126-135) with a
+jit/vmap-able implementation under XLA's static-shape constraints
+(fixed-capacity candidate slots + validity masks everywhere):
+
+1. :func:`preprocess`          — the reference's int16 contrast/brightness
+                                 transform (cam.py:137-145) + BGR grayscale.
+2. :func:`adaptive_threshold`  — mean-C threshold via integral images, swept
+                                 over the detector's window sizes
+                                 (adaptiveThreshWinSize* — cam.py:132-135).
+3. :func:`connected_components`— segmented-min-scan label propagation
+                                 (log-depth associative scans instead of
+                                 contour tracing; converges in a few
+                                 row/column sweep passes for blob shapes).
+4. :func:`extract_quads`       — top-K components by (downsampled) area;
+                                 corners from farthest-point geometry, fixed
+                                 capacity with validity masks.
+5. :func:`refine_corners`      — gradient-weighted edge line fits + line
+                                 intersection (AprilTag-style subpixel,
+                                 CORNER_REFINE_APRILTAG — cam.py:130).
+6. :func:`decode_quads`        — homography bit sampling + rotation-aware
+                                 dictionary matching (DICT_4X4_1000 et al from
+                                 :mod:`vican_tpu.ops.dictionary`).
+7. :func:`detect_markers`      — full per-image pipeline over all window
+                                 sizes, with cross-window deduplication.
+
+Returned corners follow OpenCV's convention: top-left first, clockwise in
+image coordinates, at the outer black-border pixel centers.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+__all__ = [
+    "DetectorParams",
+    "preprocess",
+    "adaptive_threshold",
+    "connected_components",
+    "extract_quads",
+    "refine_corners",
+    "decode_quads",
+    "detect_markers",
+]
+
+BIG = jnp.int32(2**30)
+
+
+class DetectorParams(NamedTuple):
+    """Static detector configuration (mirrors cv.aruco.DetectorParameters).
+
+    Defaults follow the reference's tuned values (cam.py:131-135):
+    window sizes 3..35 step 5 (odd-ified like OpenCV), constant 10.
+    """
+
+    win_sizes: tuple = (3, 9, 13, 19, 23, 29, 33)
+    thresh_const: float = 10.0
+    max_candidates: int = 16  # per window size
+    max_detections: int = 24  # per image, after dedup
+    ccl_passes: int = 10
+    min_area: float = 64.0  # px^2, component area
+    max_area_rate: float = 0.25  # fraction of image area
+    border_margin: int = 2  # px, candidates touching the border are dropped
+    refine_samples: int = 16  # samples per edge for subpixel refinement
+    refine_offsets: int = 5  # perpendicular probes per sample
+    corner_refine: str = "apriltag"
+    max_border_err_rate: float = 0.35  # erroneous border bits tolerated
+    error_correction_bits: int = 0  # Hamming budget for id matching
+    decode_samples: int = 3  # NxN samples per bit cell
+
+
+def preprocess(im, brightness: float = 0.0, contrast: float = 0.0):
+    """Reference image preprocessing + grayscale (cam.py:137-145).
+
+    ``im``: uint8 (..., H, W, 3) BGR or (..., H, W) gray.  The reference does
+    ``int16(im) * (contrast/127 + 1) - contrast + brightness`` then clips to
+    [0, 255] and truncates to uint8; detectMarkers then converts BGR->gray.
+    Returns float32 grayscale in [0, 255].
+    """
+    x = im.astype(jnp.float32)
+    if contrast != 0:
+        x = x * (contrast / 127.0 + 1.0) - contrast
+    x = x + brightness
+    x = jnp.clip(x, 0.0, 255.0)
+    x = jnp.floor(x)  # uint8 truncation parity (values are non-negative)
+    if x.shape[-1] == 3 and x.ndim >= 3:
+        # OpenCV BGR2GRAY weights, with round-half-away like cvtColor
+        x = jnp.floor(0.114 * x[..., 0] + 0.587 * x[..., 1] + 0.299 * x[..., 2] + 0.5)
+    return x
+
+
+def _box_mean(im, win: int):
+    """Mean filter with replicate borders via integral images.
+
+    ``win`` odd; matches cv.adaptiveThreshold's BORDER_REPLICATE boxFilter.
+    """
+    r = win // 2
+    H, W = im.shape[-2:]
+    padded = jnp.pad(im, [(0, 0)] * (im.ndim - 2) + [(r, r), (r, r)], mode="edge")
+    ii = jnp.cumsum(jnp.cumsum(padded, axis=-2), axis=-1)
+    ii = jnp.pad(ii, [(0, 0)] * (im.ndim - 2) + [(1, 0), (1, 0)])
+    s = (
+        ii[..., win:, win:]
+        - ii[..., :-win, win:]
+        - ii[..., win:, :-win]
+        + ii[..., :-win, :-win]
+    )
+    return s / (win * win)
+
+
+def adaptive_threshold(gray, win: int, C: float):
+    """ADAPTIVE_THRESH_MEAN_C + THRESH_BINARY_INV: foreground = dark pixels.
+
+    ``dst = src <= mean - C`` (markers' black border becomes foreground).
+    """
+    return gray <= _box_mean(gray, win) - C
+
+
+def _seg_min_scan(vals, fg, axis, reverse):
+    """Min label over the contiguous foreground run ending at each position.
+
+    Segmented scan with the associative combine (m, allfg):
+      combine(A, B) = (min(A.m, B.m) if B.allfg else B.m, A.allfg & B.allfg)
+    """
+
+    def combine(a, b):
+        am, af = a
+        bm, bf = b
+        return jnp.where(bf, jnp.minimum(am, bm), bm), af & bf
+
+    m = jnp.where(fg, vals, BIG)
+    axis = axis % m.ndim
+    out, _ = lax.associative_scan(combine, (m, fg), axis=axis, reverse=reverse)
+    return jnp.where(fg, out, BIG)
+
+
+def connected_components(fg, passes: int = 10):
+    """4-connected component labels via iterated segmented row/col sweeps.
+
+    Labels are the minimum linear pixel index of the component; background is
+    ``BIG``.  Each pass runs 4 log-depth associative scans; blob-like shapes
+    (marker borders) converge in a handful of passes.
+    """
+    H, W = fg.shape[-2:]
+    lin = jnp.arange(H * W, dtype=jnp.int32).reshape(H, W)
+    lin = jnp.broadcast_to(lin, fg.shape)
+    labels = jnp.where(fg, lin, BIG)
+
+    def body(_, labels):
+        labels = jnp.minimum(labels, _seg_min_scan(labels, fg, -1, False))
+        labels = jnp.minimum(labels, _seg_min_scan(labels, fg, -1, True))
+        labels = jnp.minimum(labels, _seg_min_scan(labels, fg, -2, False))
+        labels = jnp.minimum(labels, _seg_min_scan(labels, fg, -2, True))
+        return labels
+
+    return lax.fori_loop(0, passes, body, labels)
+
+
+def _top_k_labels(labels, K: int, H: int, W: int):
+    """K most frequent labels by area, estimated on a 2x-downsampled grid.
+
+    One small scatter-add; exact areas are recomputed per candidate later.
+    """
+    ds = labels[..., ::2, ::2]
+    flat = jnp.where(ds == BIG, H * W, ds).reshape(-1)
+    areas = jnp.zeros((H * W + 1,), jnp.int32).at[flat].add(1)
+    areas = areas.at[H * W].set(0)  # background sentinel never wins
+    top_areas, top_labels = lax.top_k(areas, K)
+    return top_labels.astype(jnp.int32), top_areas * 4
+
+
+class QuadCandidates(NamedTuple):
+    corners: jnp.ndarray  # (K, 4, 2) float32 (x, y)
+    valid: jnp.ndarray  # (K,) bool
+    area: jnp.ndarray  # (K,) float32
+
+
+def extract_quads(labels, params: DetectorParams) -> QuadCandidates:
+    """Corner extraction for the top-K components of one label image.
+
+    Farthest-point geometry: p1 = farthest from centroid, p2 = farthest from
+    p1 (the diagonal), p3/p4 = extremes of the signed distance to line
+    (p1, p2).  Ordered clockwise (image coords) starting from p1.
+    """
+    H, W = labels.shape
+    K = params.max_candidates
+    top_labels, _ = _top_k_labels(labels, K, H, W)
+
+    ys, xs = jnp.mgrid[0:H, 0:W]
+    xs = xs.astype(jnp.float32).reshape(-1)
+    ys = ys.astype(jnp.float32).reshape(-1)
+    flat_labels = labels.reshape(-1)
+
+    def one(label):
+        mask = flat_labels == label
+        area = jnp.sum(mask)
+        areaf = jnp.maximum(area.astype(jnp.float32), 1.0)
+        cx = jnp.sum(jnp.where(mask, xs, 0.0)) / areaf
+        cy = jnp.sum(jnp.where(mask, ys, 0.0)) / areaf
+
+        def farthest(px, py):
+            d2 = (xs - px) ** 2 + (ys - py) ** 2
+            i = jnp.argmax(jnp.where(mask, d2, -1.0))
+            return xs[i], ys[i]
+
+        p1x, p1y = farthest(cx, cy)
+        p2x, p2y = farthest(p1x, p1y)
+        # signed distance to the diagonal line p1 -> p2
+        dx, dy = p2x - p1x, p2y - p1y
+        cross = (xs - p1x) * dy - (ys - p1y) * dx
+        i3 = jnp.argmax(jnp.where(mask, cross, -jnp.inf))
+        i4 = jnp.argmax(jnp.where(mask, -cross, -jnp.inf))
+        p3 = jnp.array([xs[i3], ys[i3]])
+        p4 = jnp.array([xs[i4], ys[i4]])
+        p1 = jnp.array([p1x, p1y])
+        p2 = jnp.array([p2x, p2y])
+        quad = jnp.stack([p1, p3, p2, p4])  # cyclic order around the quad
+
+        # clockwise winding in image coordinates (positive shoelace with
+        # y-down axes)
+        x = quad[:, 0]
+        y = quad[:, 1]
+        shoelace = jnp.sum(x * jnp.roll(y, -1) - jnp.roll(x, -1) * y)
+        quad = jnp.where(shoelace < 0, quad[jnp.array([0, 3, 2, 1])], quad)
+
+        # validity gates
+        edges = jnp.roll(quad, -1, axis=0) - quad
+        edge_len = jnp.linalg.norm(edges, axis=1)
+        quad_area = 0.5 * jnp.abs(shoelace)
+        m = params.border_margin
+        inside = (
+            (quad[:, 0] >= m) & (quad[:, 0] <= W - 1 - m)
+            & (quad[:, 1] >= m) & (quad[:, 1] <= H - 1 - m)
+        ).all()
+        # convexity: all cross products of consecutive edges share a sign
+        e_next = jnp.roll(edges, -1, axis=0)
+        crosses = edges[:, 0] * e_next[:, 1] - edges[:, 1] * e_next[:, 0]
+        convex = (crosses > 0).all() | (crosses < 0).all()
+        # the component must fill a reasonable fraction of its quad (border
+        # rings fill ~50-60%; thin diagonal junk does not)
+        fill = area.astype(jnp.float32) / jnp.maximum(quad_area, 1.0)
+        valid = (
+            (label != BIG)
+            & (area >= params.min_area)
+            & (area <= params.max_area_rate * H * W)
+            & (edge_len.min() >= 5.0)
+            & inside
+            & convex
+            & (fill > 0.2)
+        )
+        return quad, valid, quad_area
+
+    corners, valid, area = jax.vmap(one)(top_labels)
+    return QuadCandidates(corners=corners, valid=valid, area=area)
+
+
+def _bilinear(gray, x, y):
+    """Bilinear sample of a (H, W) image at float coords (clamped)."""
+    H, W = gray.shape
+    x = jnp.clip(x, 0.0, W - 1.001)
+    y = jnp.clip(y, 0.0, H - 1.001)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    fx = x - x0
+    fy = y - y0
+    g = lambda yy, xx: gray[yy, xx]
+    v00 = g(y0, x0)
+    v01 = g(y0, x0 + 1)
+    v10 = g(y0 + 1, x0)
+    v11 = g(y0 + 1, x0 + 1)
+    return (
+        v00 * (1 - fx) * (1 - fy)
+        + v01 * fx * (1 - fy)
+        + v10 * (1 - fx) * fy
+        + v11 * fx * fy
+    )
+
+
+def refine_corners(gray, quad, params: DetectorParams):
+    """Subpixel corner refinement via gradient-weighted edge line fits.
+
+    AprilTag-style (CORNER_REFINE_APRILTAG, cam.py:130): for each quad edge,
+    probe the image gradient along perpendicular offsets at S points on the
+    edge, fit a total-least-squares line through the gradient-weighted
+    centroids, and intersect adjacent edge lines to get the corners.
+    """
+    S = params.refine_samples
+    O = params.refine_offsets
+    ts = jnp.linspace(0.12, 0.88, S)
+    offs = jnp.linspace(-(O // 2), O // 2, O)
+
+    def edge_line(a, b):
+        d = b - a
+        length = jnp.linalg.norm(d)
+        n = jnp.stack([-d[1], d[0]]) / jnp.maximum(length, 1e-6)
+        base = a[None, :] + ts[:, None] * d[None, :]  # (S,2)
+        pts = base[:, None, :] + offs[None, :, None] * n[None, None, :]  # (S,O,2)
+        # directional gradient magnitude along the normal (central diff)
+        step = 0.7
+        gplus = _bilinear(gray, pts[..., 0] + step * n[0], pts[..., 1] + step * n[1])
+        gminus = _bilinear(gray, pts[..., 0] - step * n[0], pts[..., 1] - step * n[1])
+        w = jnp.abs(gplus - gminus)  # (S,O)
+        wsum = jnp.maximum(jnp.sum(w, axis=1, keepdims=True), 1e-6)  # (S,1)
+        centroid = jnp.sum(w[..., None] * pts, axis=1) / wsum  # (S,2)
+        sw = jnp.sum(w, axis=1)  # per-sample total weight
+        # weighted total least squares line through the centroids
+        wn = sw / jnp.maximum(jnp.sum(sw), 1e-6)
+        mean = jnp.sum(wn[:, None] * centroid, axis=0)
+        dc = centroid - mean
+        cov = jnp.einsum("s,si,sj->ij", wn, dc, dc)
+        evals, evecs = jnp.linalg.eigh(cov)
+        direction = evecs[:, 1]  # dominant direction
+        normal = jnp.stack([-direction[1], direction[0]])
+        # fall back to the coarse edge when gradients are washed out
+        ok = jnp.sum(sw) > 1e-3 * S
+        direction = jnp.where(ok, direction, d / jnp.maximum(length, 1e-6))
+        normal = jnp.where(ok, normal, n)
+        mean = jnp.where(ok, mean, (a + b) * 0.5)
+        return mean, normal  # line: normal . (p - mean) = 0
+
+    means, normals = jax.vmap(edge_line)(quad, jnp.roll(quad, -1, axis=0))
+
+    def intersect(i):
+        # corner i = intersection of edge (i-1) and edge i
+        n1, p1 = normals[(i - 1) % 4], means[(i - 1) % 4]
+        n2, p2 = normals[i], means[i]
+        A = jnp.stack([n1, n2])
+        b = jnp.array([jnp.dot(n1, p1), jnp.dot(n2, p2)])
+        det = A[0, 0] * A[1, 1] - A[0, 1] * A[1, 0]
+        sol = jnp.linalg.solve(A + 1e-12 * jnp.eye(2), b)
+        return jnp.where(jnp.abs(det) > 1e-6, sol, quad[i])
+
+    refined = jax.vmap(intersect)(jnp.arange(4))
+    # reject refinements that moved corners implausibly far
+    dist = jnp.linalg.norm(refined - quad, axis=1)
+    return jnp.where((dist < 4.0)[:, None], refined, quad)
+
+
+def _quad_homography(quad, n_cells: int):
+    """Homography mapping marker-cell coords (u, v) in [0, n_cells] to image.
+
+    Cell (0,0) is the outer border's top-left; quad corners sit at the outer
+    pixel centers, so the grid spans quad corners exactly.
+    """
+    from .pnp import homography_4pt
+
+    src = jnp.array(
+        [[0.0, 0.0], [n_cells, 0.0], [n_cells, n_cells], [0.0, n_cells]],
+        jnp.float32,
+    )
+    return homography_4pt(src, quad)
+
+
+def decode_quads(gray, quads, valid, table, n_bits: int, params: DetectorParams):
+    """Sample the bit grid of each quad and match against the dictionary.
+
+    ``table``: (dict_size, 4, n_bits*n_bits) uint8 rotation table.
+    Returns (ids, rotations, corners_canonical, ok): corners are rolled so
+    index 0 is the canonical top-left (OpenCV convention).
+    """
+    cells = n_bits + 2
+    S = params.decode_samples
+    # sample offsets inside each cell (avoid cell edges)
+    lin = (jnp.arange(S) + 0.5) / S
+
+    def one(quad, is_valid):
+        Hm = _quad_homography(quad, cells)
+
+        def cell_mean(r, c):
+            u = c + lin[None, :]
+            v = r + lin[:, None]
+            ones = jnp.ones_like(u * v)
+            uv1 = jnp.stack([u * ones, v * ones, ones], axis=-1)  # (S,S,3)
+            p = jnp.einsum("ij,stj->sti", Hm, uv1)
+            x = p[..., 0] / p[..., 2]
+            y = p[..., 1] / p[..., 2]
+            return jnp.mean(_bilinear(gray, x, y))
+
+        rr, cc = jnp.mgrid[0:cells, 0:cells]
+        means = jax.vmap(jax.vmap(cell_mean))(rr.astype(jnp.float32), cc.astype(jnp.float32))
+
+        tau = 0.5 * (means.min() + means.max())
+        bits = (means > tau).astype(jnp.uint8)
+
+        border_mask = jnp.zeros((cells, cells), bool).at[0, :].set(True)
+        border_mask = border_mask.at[-1, :].set(True).at[:, 0].set(True).at[:, -1].set(True)
+        border_errs = jnp.sum(jnp.where(border_mask, bits, 0))
+        max_border_errs = jnp.floor(params.max_border_err_rate * (4 * cells - 4))
+        border_ok = border_errs <= max_border_errs
+        # contrast gate: a real marker has distinctly dark border cells
+        contrast_ok = (means.max() - means.min()) > 20.0
+
+        inner = bits[1:-1, 1:-1].reshape(-1)  # (n_bits^2,) row-major
+        dists = jnp.sum(inner[None, None, :] != table, axis=-1)  # (size, 4)
+        best_flat = jnp.argmin(dists.reshape(-1))
+        best_id = (best_flat // 4).astype(jnp.int32)
+        best_rot = (best_flat % 4).astype(jnp.int32)
+        best_dist = dists.reshape(-1)[best_flat]
+        ok = (
+            is_valid
+            & border_ok
+            & contrast_ok
+            & (best_dist <= params.error_correction_bits)
+        )
+        # roll corners so index 0 = canonical top-left
+        idx = (jnp.arange(4) + best_rot) % 4
+        corners = quad[idx]
+        return best_id, best_rot, corners, ok
+
+    return jax.vmap(one)(quads, valid)
+
+
+class Detections(NamedTuple):
+    corners: jnp.ndarray  # (D, 4, 2) canonical order, subpixel
+    ids: jnp.ndarray  # (D,) int32
+    valid: jnp.ndarray  # (D,) bool
+    score: jnp.ndarray  # (D,) float32 (quad area; larger = better)
+
+
+@partial(jax.jit, static_argnames=("params", "n_bits"))
+def detect_markers(gray, table, n_bits: int, params: DetectorParams) -> Detections:
+    """Full single-image detection over all threshold window sizes.
+
+    ``gray``: (H, W) float32 preprocessed grayscale.  Returns fixed-capacity
+    detections (``params.max_detections``) with a validity mask; duplicates
+    across window sizes are suppressed by center proximity (best area wins).
+    """
+    H, W = gray.shape
+
+    def per_window(win):
+        fg = adaptive_threshold(gray, win, params.thresh_const)
+        labels = connected_components(fg, params.ccl_passes)
+        cand = extract_quads(labels, params)
+        refined = jax.vmap(lambda q: refine_corners(gray, q, params))(cand.corners)
+        ids, rots, corners, ok = decode_quads(
+            gray, refined, cand.valid, table, n_bits, params
+        )
+        return corners, ids, ok, cand.area
+
+    outs = [per_window(w) for w in params.win_sizes]
+    corners = jnp.concatenate([o[0] for o in outs])  # (Wn*K, 4, 2)
+    ids = jnp.concatenate([o[1] for o in outs])
+    ok = jnp.concatenate([o[2] for o in outs])
+    area = jnp.concatenate([o[3] for o in outs])
+
+    # Cross-window dedup: suppress a candidate if a better (larger-area)
+    # valid candidate sits within half its edge length.
+    centers = corners.mean(axis=1)
+    d2 = jnp.sum((centers[:, None, :] - centers[None, :, :]) ** 2, axis=-1)
+    edge = jnp.sqrt(jnp.maximum(area, 1.0))  # ~ quad edge length
+    close = d2 < (0.5 * jnp.minimum(edge[:, None], edge[None, :])) ** 2
+    better = (area[None, :] > area[:, None]) | (
+        (area[None, :] == area[:, None])
+        & (jnp.arange(len(area))[None, :] < jnp.arange(len(area))[:, None])
+    )
+    suppressed = jnp.any(close & better & ok[None, :], axis=1)
+    keep = ok & ~suppressed
+
+    # compact to the fixed output capacity, best areas first
+    order = jnp.argsort(jnp.where(keep, -area, jnp.inf))
+    sel = order[: params.max_detections]
+    return Detections(
+        corners=corners[sel],
+        ids=ids[sel],
+        valid=keep[sel],
+        score=area[sel],
+    )
