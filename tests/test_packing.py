@@ -26,8 +26,7 @@ def test_c_and_python_packers_agree(prob, monkeypatch):
     monkeypatch.setenv("VICAN_TPU_NO_NATIVE", "1")
     import vican_tpu._native as native
 
-    monkeypatch.setattr(native, "_tried", False)
-    monkeypatch.setattr(native, "_cached", None)
+    monkeypatch.setattr(native, "_cache", {})
     p_py = pack_problem(prob.edges, prob.constraints(), nm_r, nm_t, filt, dtype=np.float32)
 
     assert p_c.cam_ids == p_py.cam_ids

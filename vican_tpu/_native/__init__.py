@@ -1,9 +1,12 @@
 """Native (C) runtime components, built lazily on first use.
 
-``get_fastpack()`` compiles and loads the edge-dict packing kernel
-(fastpack.c) with the host toolchain; failures fall back to the pure-Python
-path silently (the packers produce identical output — tests/test_packing.py).
-The built .so is cached next to the source keyed by a content hash.
+- ``get_fastpack()`` — edge-dict packing kernel (fastpack.c)
+- ``get_fastccl()``  — connected-components + quad candidates (fastccl.c)
+
+Modules compile with the host toolchain on first use; failures fall back to
+the pure-Python paths silently (identical outputs — see tests/test_packing.py
+and tests/test_detect.py).  Built .so files are cached next to the source
+keyed by a content hash.  Set ``VICAN_TPU_NO_NATIVE=1`` to disable.
 """
 from __future__ import annotations
 
@@ -15,22 +18,23 @@ import sys
 import sysconfig
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
-_cached = None
-_tried = False
+_cache: dict = {}
 
 
-def _build(src: str, tag: str) -> str | None:
-    """Compile ``src`` into a cached extension .so; return its path."""
+def _build(name: str) -> str | None:
+    """Compile ``<name>.c`` into a content-hash-cached .so; return its path."""
+    src = os.path.join(_HERE, f"{name}.c")
+    with open(src, "rb") as f:
+        tag = hashlib.sha256(f.read()).hexdigest()[:12]
+    tag += f"_py{sys.version_info.major}{sys.version_info.minor}"
     cache_dir = os.path.join(_HERE, "_build")
     os.makedirs(cache_dir, exist_ok=True)
-    so_path = os.path.join(cache_dir, f"fastpack_{tag}.so")
+    so_path = os.path.join(cache_dir, f"{name}_{tag}.so")
     if os.path.exists(so_path):
         return so_path
     include = sysconfig.get_paths()["include"]
     cc = os.environ.get("CC", "gcc")
-    cmd = [
-        cc, "-O2", "-shared", "-fPIC", f"-I{include}", src, "-o", so_path + ".tmp",
-    ]
+    cmd = [cc, "-O2", "-shared", "-fPIC", f"-I{include}", src, "-o", so_path + ".tmp"]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
     except Exception:
@@ -39,26 +43,35 @@ def _build(src: str, tag: str) -> str | None:
     return so_path
 
 
+def _get_module(name: str):
+    if name in _cache:
+        return _cache[name]
+    mod = None
+    if not os.environ.get("VICAN_TPU_NO_NATIVE"):
+        try:
+            so_path = _build(name)
+            if so_path is not None:
+                spec = importlib.util.spec_from_file_location(
+                    f"vican_tpu._native.{name}", so_path
+                )
+                mod = importlib.util.module_from_spec(spec)
+                spec.loader.exec_module(mod)
+        except Exception:
+            mod = None
+    _cache[name] = mod
+    return mod
+
+
 def get_fastpack():
-    """Return the compiled fastpack module, or None if unavailable."""
-    global _cached, _tried
-    if _tried:
-        return _cached
-    _tried = True
-    if os.environ.get("VICAN_TPU_NO_NATIVE"):
-        return None
-    src = os.path.join(_HERE, "fastpack.c")
-    try:
-        with open(src, "rb") as f:
-            tag = hashlib.sha256(f.read()).hexdigest()[:12]
-        tag += f"_py{sys.version_info.major}{sys.version_info.minor}"
-        so_path = _build(src, tag)
-        if so_path is None:
-            return None
-        spec = importlib.util.spec_from_file_location("vican_tpu._native.fastpack", so_path)
-        mod = importlib.util.module_from_spec(spec)
-        spec.loader.exec_module(mod)
-        _cached = mod
-    except Exception:
-        _cached = None
-    return _cached
+    """The compiled edge-packing module, or None if unavailable."""
+    return _get_module("fastpack")
+
+
+def get_fastccl():
+    """The compiled CCL/quad module, or None if unavailable."""
+    return _get_module("fastccl")
+
+
+# Backwards-compat for tests monkeypatching the old single-module cache.
+_tried = False
+_cached = None

@@ -1,0 +1,213 @@
+/* fastccl — connected components + quad candidates for marker detection.
+ *
+ * Labeling is irregular pointer-chasing work: a classic two-pass union-find
+ * CCL runs in ~10 ms/image in C, while TPU formulations either need
+ * megapixel gathers (serialized) or hundreds of propagation sweeps.  The
+ * detection pipeline therefore splits: dense numerics (threshold sweep,
+ * subpixel refinement, bit decoding, PnP) on the TPU, component labeling +
+ * coarse quad extraction here.  Quality-equivalent to OpenCV's contour
+ * stage (8-connected, reference cam.py:147's detectMarkers internals).
+ *
+ * Exposed as vican_tpu._native.fastccl.quad_candidates(); validated against
+ * the pure-jnp fallback in tests/test_detect.py.
+ */
+#define PY_SSIZE_T_CLEAN
+#include <Python.h>
+#include <math.h>
+#include <stdint.h>
+#include <stdlib.h>
+#include <string.h>
+
+typedef struct {
+    int32_t area;
+    int64_t sx, sy;            /* centroid accumulators */
+    int32_t minx, maxx, miny, maxy;
+} Stats;
+
+static int32_t find_root(int32_t *parent, int32_t x) {
+    while (parent[x] != x) {
+        parent[x] = parent[parent[x]]; /* path halving */
+        x = parent[x];
+    }
+    return x;
+}
+
+static void unite(int32_t *parent, int32_t a, int32_t b) {
+    a = find_root(parent, a);
+    b = find_root(parent, b);
+    if (a < b) parent[b] = a;
+    else if (b < a) parent[a] = b;
+}
+
+/* quad_candidates(fg_bytes, H, W, K, min_area, max_area)
+ *   fg_bytes: contiguous uint8 (H*W), nonzero = foreground
+ * Returns (corners float32 (K,4,2), areas int32 (K,), count)
+ * Corners use the farthest-point geometry (p1 = farthest from centroid,
+ * p2 = farthest from p1, p3/p4 = extremes of signed distance to p1-p2),
+ * cyclic order p1, p3, p2, p4.
+ */
+static PyObject *quad_candidates(PyObject *self, PyObject *args) {
+    Py_buffer fg;
+    Py_ssize_t H, W, K;
+    double min_area, max_area;
+    if (!PyArg_ParseTuple(args, "y*nnndd", &fg, &H, &W, &K, &min_area, &max_area))
+        return NULL;
+    if (fg.len < H * W) {
+        PyBuffer_Release(&fg);
+        PyErr_SetString(PyExc_ValueError, "fg buffer too small");
+        return NULL;
+    }
+    const uint8_t *im = (const uint8_t *)fg.buf;
+    int32_t n = (int32_t)(H * W);
+    int32_t *parent = (int32_t *)malloc((size_t)n * sizeof(int32_t));
+    if (!parent) {
+        PyBuffer_Release(&fg);
+        return PyErr_NoMemory();
+    }
+
+    /* pass 1: union with W, NW, N, NE neighbours (8-connectivity) */
+    for (int32_t y = 0; y < H; y++) {
+        const uint8_t *row = im + (size_t)y * W;
+        const uint8_t *up = row - W;
+        int32_t base = y * (int32_t)W;
+        for (int32_t x = 0; x < W; x++) {
+            int32_t i = base + x;
+            if (!row[x]) { parent[i] = -1; continue; }
+            parent[i] = i;
+            if (x > 0 && row[x - 1]) unite(parent, i, i - 1);
+            if (y > 0) {
+                if (up[x]) unite(parent, i, i - (int32_t)W);
+                if (x > 0 && up[x - 1]) unite(parent, i, i - (int32_t)W - 1);
+                if (x + 1 < W && up[x + 1]) unite(parent, i, i - (int32_t)W + 1);
+            }
+        }
+    }
+
+    /* pass 2: flatten + per-root stats, collected in a hash-free scheme:
+     * roots are pixel indices; store stat slot index at the root. */
+    int32_t *slot = (int32_t *)malloc((size_t)n * sizeof(int32_t));
+    if (!slot) { free(parent); PyBuffer_Release(&fg); return PyErr_NoMemory(); }
+    memset(slot, 0xFF, (size_t)n * sizeof(int32_t));
+    int cap = 256, nstats = 0;
+    Stats *stats = (Stats *)malloc((size_t)cap * sizeof(Stats));
+    int32_t *roots = (int32_t *)malloc((size_t)cap * sizeof(int32_t));
+    for (int32_t y = 0; y < H; y++) {
+        int32_t base = y * (int32_t)W;
+        for (int32_t x = 0; x < W; x++) {
+            int32_t i = base + x;
+            if (parent[i] < 0) continue;
+            int32_t r = find_root(parent, i);
+            parent[i] = r;
+            int32_t s = slot[r];
+            if (s < 0) {
+                if (nstats == cap) {
+                    cap *= 2;
+                    stats = (Stats *)realloc(stats, (size_t)cap * sizeof(Stats));
+                    roots = (int32_t *)realloc(roots, (size_t)cap * sizeof(int32_t));
+                }
+                s = nstats++;
+                slot[r] = s;
+                roots[s] = r;
+                stats[s] = (Stats){0, 0, 0, (int32_t)W, 0, (int32_t)H, 0};
+            }
+            Stats *st = &stats[s];
+            st->area++;
+            st->sx += x;
+            st->sy += y;
+            if (x < st->minx) st->minx = x;
+            if (x > st->maxx) st->maxx = x;
+            if (y < st->miny) st->miny = y;
+            if (y > st->maxy) st->maxy = y;
+        }
+    }
+
+    /* rank components by area, keep top-K within [min_area, max_area] */
+    int *order = (int *)malloc((size_t)nstats * sizeof(int));
+    int nkeep = 0;
+    for (int s = 0; s < nstats; s++)
+        if (stats[s].area >= (int32_t)min_area && stats[s].area <= (int32_t)max_area)
+            order[nkeep++] = s;
+    /* selection of top-K by area (K is small) */
+    if (nkeep > K) {
+        for (int a = 0; a < K; a++) {
+            int best = a;
+            for (int b = a + 1; b < nkeep; b++)
+                if (stats[order[b]].area > stats[order[best]].area) best = b;
+            int tmp = order[a]; order[a] = order[best]; order[best] = tmp;
+        }
+        nkeep = (int)K;
+    }
+
+    float *corners = (float *)calloc((size_t)K * 8, sizeof(float));
+    int32_t *areas = (int32_t *)calloc((size_t)K, sizeof(int32_t));
+
+    for (int a = 0; a < nkeep; a++) {
+        Stats *st = &stats[order[a]];
+        int32_t root = roots[order[a]];
+        double cx = (double)st->sx / st->area;
+        double cy = (double)st->sy / st->area;
+        double p1x = cx, p1y = cy, best = -1.0;
+        /* scans restricted to the component bounding box */
+        for (int32_t y = st->miny; y <= st->maxy; y++) {
+            int32_t base = y * (int32_t)W;
+            for (int32_t x = st->minx; x <= st->maxx; x++) {
+                if (parent[base + x] != root) continue;
+                double d = (x - cx) * (x - cx) + (y - cy) * (y - cy);
+                if (d > best) { best = d; p1x = x; p1y = y; }
+            }
+        }
+        double p2x = p1x, p2y = p1y;
+        best = -1.0;
+        for (int32_t y = st->miny; y <= st->maxy; y++) {
+            int32_t base = y * (int32_t)W;
+            for (int32_t x = st->minx; x <= st->maxx; x++) {
+                if (parent[base + x] != root) continue;
+                double d = (x - p1x) * (x - p1x) + (y - p1y) * (y - p1y);
+                if (d > best) { best = d; p2x = x; p2y = y; }
+            }
+        }
+        double dx = p2x - p1x, dy = p2y - p1y;
+        double p3x = p1x, p3y = p1y, p4x = p2x, p4y = p2y;
+        double bmax = -1e30, bmin = 1e30;
+        for (int32_t y = st->miny; y <= st->maxy; y++) {
+            int32_t base = y * (int32_t)W;
+            for (int32_t x = st->minx; x <= st->maxx; x++) {
+                if (parent[base + x] != root) continue;
+                double c = (x - p1x) * dy - (y - p1y) * dx;
+                if (c > bmax) { bmax = c; p3x = x; p3y = y; }
+                if (c < bmin) { bmin = c; p4x = x; p4y = y; }
+            }
+        }
+        float *q = corners + (size_t)a * 8;
+        q[0] = (float)p1x; q[1] = (float)p1y;
+        q[2] = (float)p3x; q[3] = (float)p3y;
+        q[4] = (float)p2x; q[5] = (float)p2y;
+        q[6] = (float)p4x; q[7] = (float)p4y;
+        areas[a] = st->area;
+    }
+
+    free(order);
+    free(stats);
+    free(roots);
+    free(slot);
+    free(parent);
+    PyBuffer_Release(&fg);
+
+    PyObject *c_bytes = PyBytes_FromStringAndSize((char *)corners, (Py_ssize_t)K * 8 * sizeof(float));
+    PyObject *a_bytes = PyBytes_FromStringAndSize((char *)areas, (Py_ssize_t)K * sizeof(int32_t));
+    free(corners);
+    free(areas);
+    return Py_BuildValue("(NNi)", c_bytes, a_bytes, nkeep);
+}
+
+static PyMethodDef methods[] = {
+    {"quad_candidates", quad_candidates, METH_VARARGS,
+     "Two-pass union-find CCL + farthest-point quad corners."},
+    {NULL, NULL, 0, NULL},
+};
+
+static struct PyModuleDef moduledef = {
+    PyModuleDef_HEAD_INIT, "fastccl", NULL, -1, methods,
+};
+
+PyMODINIT_FUNC PyInit_fastccl(void) { return PyModule_Create(&moduledef); }

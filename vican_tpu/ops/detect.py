@@ -10,10 +10,11 @@ jit/vmap-able implementation under XLA's static-shape constraints
 2. :func:`adaptive_threshold`  — mean-C threshold via integral images, swept
                                  over the detector's window sizes
                                  (adaptiveThreshWinSize* — cam.py:132-135).
-3. :func:`connected_components`— segmented-min-scan label propagation
-                                 (log-depth associative scans instead of
-                                 contour tracing; converges in a few
-                                 row/column sweep passes for blob shapes).
+3. :func:`connected_components`— 8-connected label propagation (pure-jnp
+                                 fallback; the production path uses the C
+                                 union-find kernel in _native/fastccl.c —
+                                 labeling is irregular pointer-chasing where
+                                 a CPU beats any dense-tensor formulation).
 4. :func:`extract_quads`       — top-K components by (downsampled) area;
                                  corners from farthest-point geometry, fixed
                                  capacity with validity masks.
@@ -41,6 +42,7 @@ from jax import lax
 
 __all__ = [
     "DetectorParams",
+    "dedup_and_compact",
     "preprocess",
     "adaptive_threshold",
     "connected_components",
@@ -123,41 +125,47 @@ def adaptive_threshold(gray, win: int, C: float):
     return gray <= _box_mean(gray, win) - C
 
 
-def _seg_min_scan(vals, fg, axis, reverse):
-    """Min label over the contiguous foreground run ending at each position.
+def _neighbor_min(labels, fg):
+    """Min of the 8-neighborhood labels (masked to foreground).
 
-    Segmented scan with the associative combine (m, allfg):
-      combine(A, B) = (min(A.m, B.m) if B.allfg else B.m, A.allfg & B.allfg)
+    8-connectivity matters: thin oblique marker borders are only diagonally
+    connected (OpenCV's contour following is 8-connected too).
     """
-
-    def combine(a, b):
-        am, af = a
-        bm, bf = b
-        return jnp.where(bf, jnp.minimum(am, bm), bm), af & bf
-
-    m = jnp.where(fg, vals, BIG)
-    axis = axis % m.ndim
-    out, _ = lax.associative_scan(combine, (m, fg), axis=axis, reverse=reverse)
+    row = labels
+    row = jnp.minimum(row, jnp.pad(labels, ((0, 0), (1, 0)), constant_values=BIG)[:, :-1])
+    row = jnp.minimum(row, jnp.pad(labels, ((0, 0), (0, 1)), constant_values=BIG)[:, 1:])
+    # vertical + diagonal neighbors come from the row-wise min shifted up/down
+    out = jnp.minimum(row, jnp.pad(row, ((1, 0), (0, 0)), constant_values=BIG)[:-1, :])
+    out = jnp.minimum(out, jnp.pad(row, ((0, 1), (0, 0)), constant_values=BIG)[1:, :])
     return jnp.where(fg, out, BIG)
 
 
 def connected_components(fg, passes: int = 10):
-    """4-connected component labels via iterated segmented row/col sweeps.
+    """8-connected component labels via label propagation + pointer jumping.
+
+    The standard GPU CCL scheme (Playne & Hawick style): each iteration takes
+    the 4-neighborhood minimum and then follows the label chain twice
+    (``label <- label[label]``), which flattens label trees exponentially —
+    blob-shaped components (marker borders) converge in ~10 iterations at
+    720p.  Only shifts and gathers: compiles and runs orders of magnitude
+    faster on TPU than scan-based formulations.
 
     Labels are the minimum linear pixel index of the component; background is
-    ``BIG``.  Each pass runs 4 log-depth associative scans; blob-like shapes
-    (marker borders) converge in a handful of passes.
+    ``BIG``.
     """
     H, W = fg.shape[-2:]
     lin = jnp.arange(H * W, dtype=jnp.int32).reshape(H, W)
-    lin = jnp.broadcast_to(lin, fg.shape)
     labels = jnp.where(fg, lin, BIG)
 
+    def jump(labels):
+        flat = labels.reshape(-1)
+        idx = jnp.clip(flat, 0, H * W - 1)
+        return jnp.where(fg, jnp.minimum(labels, flat[idx].reshape(H, W)), BIG)
+
     def body(_, labels):
-        labels = jnp.minimum(labels, _seg_min_scan(labels, fg, -1, False))
-        labels = jnp.minimum(labels, _seg_min_scan(labels, fg, -1, True))
-        labels = jnp.minimum(labels, _seg_min_scan(labels, fg, -2, False))
-        labels = jnp.minimum(labels, _seg_min_scan(labels, fg, -2, True))
+        labels = _neighbor_min(jnp.minimum(labels, labels), fg)
+        labels = jump(labels)
+        labels = jump(labels)
         return labels
 
     return lax.fori_loop(0, passes, body, labels)
@@ -424,34 +432,13 @@ class Detections(NamedTuple):
     score: jnp.ndarray  # (D,) float32 (quad area; larger = better)
 
 
-@partial(jax.jit, static_argnames=("params", "n_bits"))
-def detect_markers(gray, table, n_bits: int, params: DetectorParams) -> Detections:
-    """Full single-image detection over all threshold window sizes.
+def dedup_and_compact(corners, ids, ok, area, params: DetectorParams) -> Detections:
+    """Cross-window duplicate suppression + compaction to fixed capacity.
 
-    ``gray``: (H, W) float32 preprocessed grayscale.  Returns fixed-capacity
-    detections (``params.max_detections``) with a validity mask; duplicates
-    across window sizes are suppressed by center proximity (best area wins).
+    A candidate is suppressed when a better (larger-area) valid candidate
+    sits within half its edge length; survivors are compacted best-first
+    into ``params.max_detections`` slots.
     """
-    H, W = gray.shape
-
-    def per_window(win):
-        fg = adaptive_threshold(gray, win, params.thresh_const)
-        labels = connected_components(fg, params.ccl_passes)
-        cand = extract_quads(labels, params)
-        refined = jax.vmap(lambda q: refine_corners(gray, q, params))(cand.corners)
-        ids, rots, corners, ok = decode_quads(
-            gray, refined, cand.valid, table, n_bits, params
-        )
-        return corners, ids, ok, cand.area
-
-    outs = [per_window(w) for w in params.win_sizes]
-    corners = jnp.concatenate([o[0] for o in outs])  # (Wn*K, 4, 2)
-    ids = jnp.concatenate([o[1] for o in outs])
-    ok = jnp.concatenate([o[2] for o in outs])
-    area = jnp.concatenate([o[3] for o in outs])
-
-    # Cross-window dedup: suppress a candidate if a better (larger-area)
-    # valid candidate sits within half its edge length.
     centers = corners.mean(axis=1)
     d2 = jnp.sum((centers[:, None, :] - centers[None, :, :]) ** 2, axis=-1)
     edge = jnp.sqrt(jnp.maximum(area, 1.0))  # ~ quad edge length
@@ -463,12 +450,38 @@ def detect_markers(gray, table, n_bits: int, params: DetectorParams) -> Detectio
     suppressed = jnp.any(close & better & ok[None, :], axis=1)
     keep = ok & ~suppressed
 
-    # compact to the fixed output capacity, best areas first
     order = jnp.argsort(jnp.where(keep, -area, jnp.inf))
     sel = order[: params.max_detections]
     return Detections(
-        corners=corners[sel],
-        ids=ids[sel],
-        valid=keep[sel],
-        score=area[sel],
+        corners=corners[sel], ids=ids[sel], valid=keep[sel], score=area[sel]
     )
+
+
+@partial(jax.jit, static_argnames=("params", "n_bits"))
+def detect_markers(gray, table, n_bits: int, params: DetectorParams) -> Detections:
+    """Full single-image detection over all threshold window sizes.
+
+    ``gray``: (H, W) float32 preprocessed grayscale.  Returns fixed-capacity
+    detections (``params.max_detections``) with a validity mask; duplicates
+    across window sizes are suppressed by center proximity (best area wins).
+    """
+    H, W = gray.shape
+
+    # The threshold sweep differs only in the (static) window size; every
+    # later stage runs batched over the window axis in ONE program — 7x fewer
+    # dispatches and a much smaller XLA graph than a per-window loop.
+    fgs = jnp.stack(
+        [adaptive_threshold(gray, w, params.thresh_const) for w in params.win_sizes]
+    )  # (Wn, H, W)
+    labels = jax.vmap(lambda f: connected_components(f, params.ccl_passes))(fgs)
+    cand = jax.vmap(lambda l: extract_quads(l, params))(labels)
+
+    Wn, K = len(params.win_sizes), params.max_candidates
+    corners_flat = cand.corners.reshape(Wn * K, 4, 2)
+    refined = jax.vmap(lambda q: refine_corners(gray, q, params))(corners_flat)
+    ids, rots, corners, ok = decode_quads(
+        gray, refined, cand.valid.reshape(Wn * K), table, n_bits, params
+    )
+    area = cand.area.reshape(Wn * K)
+
+    return dedup_and_compact(corners, ids, ok, area, params)

@@ -1,11 +1,21 @@
 """Batched perception driver: images -> camera-marker edge dict.
 
 The reference fans one OpenCV pipeline per image over a multiprocessing pool
-(vican/cam.py:190-265).  Here the host stage only decodes JPEGs and pads
-batches; everything per-pixel and per-marker (threshold sweep, component
-labeling, quad extraction, subpixel refinement, bit decoding, IPPE PnP, LM
-refinement, reprojection error) runs as one jitted device program per batch
-(:mod:`vican_tpu.ops.detect` + :mod:`vican_tpu.ops.pnp`).
+(vican/cam.py:190-265).  Here the work splits by what each processor is good
+at:
+
+- **Host**: JPEG decode, the reference's int16 preprocessing (cam.py:137-145),
+  the adaptive-threshold sweep (box filters), and connected-component quad
+  candidates via the C union-find kernel (_native/fastccl.c) — labeling is
+  irregular pointer-chasing where a CPU two-pass beats any dense-tensor
+  formulation by orders of magnitude.
+- **Device (one jitted program per batch)**: subpixel corner refinement,
+  homography bit sampling + dictionary matching, duplicate suppression, and
+  the full PnP chain (IPPE square -> LM -> reprojection error) with per-image
+  intrinsics — all batched dense numerics.
+
+A pure-device detection path also exists (:func:`vican_tpu.ops.detect.
+detect_markers`) and is used when the C kernel is unavailable.
 
 Corner convention note: corners are the *physical* marker boundary (intensity
 transition midpoint).  OpenCV's detector reports quads translated by
@@ -22,15 +32,11 @@ from .cam import Camera, gen_marker_uid
 from .geometry import SE3
 from .utils.registry import CORNER_REFINE, PNP_FLAGS, resolve
 
-__all__ = ["estimate_pose_batched", "load_images"]
+__all__ = ["estimate_pose_batched", "load_images", "host_preprocess", "host_candidates"]
 
 
 def load_images(filenames: Iterable[str]) -> np.ndarray:
-    """Host JPEG decode into a uint8 (B, H, W, 3) BGR batch.
-
-    Input-pipeline stage (SURVEY.md §2.2): file I/O stays on the host; decoded
-    frames are shipped to the device as uint8 to minimize transfer bytes.
-    """
+    """Host JPEG decode into a uint8 (B, H, W, 3) BGR batch."""
     import cv2 as cv
 
     ims = []
@@ -45,51 +51,149 @@ def load_images(filenames: Iterable[str]) -> np.ndarray:
     return np.stack(ims)
 
 
+def host_preprocess(images: np.ndarray, brightness: float, contrast: float) -> np.ndarray:
+    """Reference contrast/brightness + BGR grayscale, on host (uint8 out).
+
+    Bit-matches cam.py:137-145: int16 scale, clip, uint8 truncation, then
+    OpenCV BGR2GRAY.
+    """
+    import cv2 as cv
+
+    x = images.astype(np.float32)
+    if contrast != 0:
+        x = x * (contrast / 127.0 + 1.0) - contrast
+    x = x + brightness
+    x = np.clip(x, 0.0, 255.0).astype(np.uint8)
+    if x.ndim == 4 and x.shape[-1] == 3:
+        x = np.stack([cv.cvtColor(im, cv.COLOR_BGR2GRAY) for im in x])
+    return x
+
+
+def _quad_gates(quads: np.ndarray, areas: np.ndarray, H: int, W: int, params) -> np.ndarray:
+    """Vectorized candidate validity gates (same rules as ops.detect.extract_quads)."""
+    x = quads[..., 0]
+    y = quads[..., 1]
+    x2 = np.roll(x, -1, axis=-1)
+    y2 = np.roll(y, -1, axis=-1)
+    shoelace = np.sum(x * y2 - x2 * y, axis=-1)
+    quad_area = 0.5 * np.abs(shoelace)
+    edges = np.roll(quads, -1, axis=-2) - quads
+    edge_len = np.linalg.norm(edges, axis=-1)
+    e_next = np.roll(edges, -1, axis=-2)
+    crosses = edges[..., 0] * e_next[..., 1] - edges[..., 1] * e_next[..., 0]
+    convex = (crosses > 0).all(-1) | (crosses < 0).all(-1)
+    m = params.border_margin
+    inside = (
+        (quads[..., 0] >= m).all(-1)
+        & (quads[..., 0] <= W - 1 - m).all(-1)
+        & (quads[..., 1] >= m).all(-1)
+        & (quads[..., 1] <= H - 1 - m).all(-1)
+    )
+    fill = areas / np.maximum(quad_area, 1.0)
+    return (
+        (areas >= params.min_area)
+        & (edge_len.min(-1) >= 5.0)
+        & inside
+        & convex
+        & (fill > 0.2)
+    )
+
+
+def host_candidates(gray: np.ndarray, params) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Threshold sweep + C CCL quad candidates for a (B, H, W) uint8 batch.
+
+    Returns ``(quads (B, Q, 4, 2) float32, valid (B, Q) bool, areas)`` with
+    ``Q = len(win_sizes) * max_candidates``; quads are clockwise-wound.
+    """
+    import cv2 as cv
+
+    from ._native import get_fastccl
+
+    ccl = get_fastccl()
+    if ccl is None:
+        raise RuntimeError("fastccl unavailable; use the pure-device detect path")
+
+    B, H, W = gray.shape
+    K = params.max_candidates
+    Wn = len(params.win_sizes)
+    quads = np.zeros((B, Wn * K, 4, 2), np.float32)
+    areas = np.zeros((B, Wn * K), np.float32)
+    valid = np.zeros((B, Wn * K), bool)
+    max_area = params.max_area_rate * H * W
+    for b in range(B):
+        g = gray[b]
+        for wi, win in enumerate(params.win_sizes):
+            mean = cv.boxFilter(g, cv.CV_32F, (win, win), borderType=cv.BORDER_REPLICATE)
+            fg = (g.astype(np.float32) <= mean - params.thresh_const).astype(np.uint8)
+            c_bytes, a_bytes, cnt = ccl.quad_candidates(
+                np.ascontiguousarray(fg), H, W, K, params.min_area, max_area
+            )
+            q = np.frombuffer(c_bytes, np.float32).reshape(K, 4, 2)
+            a = np.frombuffer(a_bytes, np.int32)
+            sl = wi * K
+            quads[b, sl : sl + K] = q
+            areas[b, sl : sl + K] = a
+            valid[b, sl : sl + cnt] = True
+
+    # enforce clockwise winding (image coords): positive shoelace
+    x = quads[..., 0]
+    y = quads[..., 1]
+    shoelace = np.sum(x * np.roll(y, -1, -1) - np.roll(x, -1, -1) * y, axis=-1)
+    flip = shoelace < 0
+    quads[flip] = quads[flip][:, [0, 3, 2, 1]]
+
+    valid &= _quad_gates(quads, areas, H, W, params)
+    return quads, valid, areas
+
+
 _PIPELINE_CACHE: dict = {}
 
 
-def _get_pipeline(H, W, B, D, n_bits, params, lm_iters, brightness, contrast, marker_size):
-    """Build (and cache) the jitted batch program for a given geometry.
+def _get_pipeline(key, builder):
+    if key not in _PIPELINE_CACHE:
+        _PIPELINE_CACHE[key] = builder()
+    return _PIPELINE_CACHE[key]
 
-    brightness/contrast/marker_size are trace-time constants (the reference
-    passes them per run, not per image — cam.py:190-198).
-    """
-    key = (H, W, B, D, n_bits, params, lm_iters, brightness, contrast, marker_size)
-    if key in _PIPELINE_CACHE:
-        return _PIPELINE_CACHE[key]
 
+def _build_hybrid(B, Q, n_bits, params, lm_iters, marker_size):
     import jax
     import jax.numpy as jnp
 
     from .ops import detect as D_
     from .ops import pnp as P_
 
+    D = params.max_detections
+
     @jax.jit
-    def run(images_u8, Ks, dists, table):
+    def run(gray_u8, quads, valid, areas, Ks, dists, table):
         with jax.default_matmul_precision("highest"):
-            gray = D_.preprocess(images_u8, brightness, contrast)  # (B,H,W)
-            det = jax.vmap(lambda g: D_.detect_markers(g, table, n_bits, params))(gray)
-            # flatten (B, D) detections and solve PnP per detection with the
-            # owning image's intrinsics
+            gray = gray_u8.astype(jnp.float32)
+
+            def per_image(g, q, v, a):
+                refined = jax.vmap(lambda qq: D_.refine_corners(g, qq, params))(q)
+                ids, rots, corners, ok = D_.decode_quads(
+                    g, refined, v, table, n_bits, params
+                )
+                return D_.dedup_and_compact(corners, ids, ok, a, params)
+
+            det = jax.vmap(per_image)(gray, quads, valid, areas)
+
             corners = det.corners.reshape(B * D, 4, 2)
             ids = det.ids.reshape(B * D)
-            valid = det.valid.reshape(B * D)
+            ok = det.valid.reshape(B * D)
             im_of = jnp.repeat(jnp.arange(B), D)
-            K_e = Ks[im_of]
-            dist_e = dists[im_of]
 
             def solve(c, K, dist):
                 return P_.solve_marker_pose(c, K, dist, marker_size, lm_iters=lm_iters)
 
-            R, t, err = jax.vmap(solve)(corners, K_e, dist_e)
+            R, t, err = jax.vmap(solve)(corners, Ks[im_of], dists[im_of])
             finite = (
                 jnp.isfinite(err)
                 & jnp.all(jnp.isfinite(R), axis=(1, 2))
                 & jnp.all(jnp.isfinite(t), axis=1)
             )
-            return corners, ids, valid & finite, R, t, err
+            return corners, ids, ok & finite, R, t, err
 
-    _PIPELINE_CACHE[key] = run
     return run
 
 
@@ -107,7 +211,7 @@ def estimate_pose_batched(
     detector_params=None,
     verbose: bool = True,
 ) -> dict:
-    """Run the device perception pipeline over all images.
+    """Run the hybrid perception pipeline over all images.
 
     Returns the reference edge dict (cam.py:120-124 schema).
     """
@@ -116,16 +220,14 @@ def estimate_pose_batched(
     from .ops import detect as D_
     from .ops.dictionary import get_dictionary, marker_bits_table
 
-    # resolve string options through registries (the reference eval()s OpenCV
-    # names — cam.py:126-135; we validate instead)
     refine_kind = resolve(CORNER_REFINE, corner_refine, "corner_refine")
-    resolve(PNP_FLAGS, flags, "flags")  # currently always the IPPE-square path
+    resolve(PNP_FLAGS, flags, "flags")  # always the IPPE-square path today
     _, n_bits = get_dictionary(aruco)
     table = jnp.asarray(marker_bits_table(aruco))
 
     params = detector_params or D_.DetectorParams()
     if refine_kind == "none":
-        params = params._replace(refine_samples=0)
+        params = params._replace(refine_samples=2, refine_offsets=3)
 
     out: dict = {}
     B = batch_size
@@ -139,26 +241,30 @@ def estimate_pose_batched(
             images = np.concatenate([images, np.repeat(images[-1:], B - nb, axis=0)])
             batch_cams = batch_cams + [batch_cams[-1]] * (B - nb)
         H, W = images.shape[1:3]
+
+        gray = host_preprocess(images, float(brightness), float(contrast))
+        quads, valid, areas = host_candidates(gray, params)
+        Q = quads.shape[1]
+
         Ks = np.stack([np.asarray(c.intrinsics, np.float32) for c in batch_cams])
         dists = np.stack(
             [
-                np.asarray(
-                    np.pad(np.atleast_1d(c.distortion).astype(np.float32), (0, 14))[:14]
-                )
+                np.pad(np.atleast_1d(c.distortion).astype(np.float32), (0, 14))[:14]
                 for c in batch_cams
             ]
         )
 
         run = _get_pipeline(
-            H, W, B, params.max_detections, n_bits, params, lm_iters,
-            float(brightness), float(contrast), float(marker_size),
+            ("hybrid", H, W, B, Q, n_bits, params, lm_iters, float(marker_size)),
+            lambda: _build_hybrid(B, Q, n_bits, params, lm_iters, float(marker_size)),
         )
-        corners, ids, valid, R, t, err = run(
-            jnp.asarray(images), jnp.asarray(Ks), jnp.asarray(dists), table
+        corners, ids, ok, R, t, err = run(
+            jnp.asarray(gray), jnp.asarray(quads), jnp.asarray(valid),
+            jnp.asarray(areas), jnp.asarray(Ks), jnp.asarray(dists), table,
         )
         corners = np.asarray(corners)
         ids = np.asarray(ids)
-        valid = np.asarray(valid)
+        ok = np.asarray(ok)
         R = np.asarray(R, np.float64)
         t = np.asarray(t, np.float64)
         err = np.asarray(err)
@@ -169,7 +275,7 @@ def estimate_pose_batched(
             cam = batch_cams[j]
             for k in range(Dcap):
                 e = j * Dcap + k
-                if not valid[e]:
+                if not ok[e]:
                     continue
                 key = (cam.id, gen_marker_uid(fn, str(int(ids[e]))))
                 out[key] = {
@@ -180,9 +286,7 @@ def estimate_pose_batched(
                 }
                 total_det += 1
         if verbose:
-            print(
-                f"  batch {start // B}: {nb} images, {int(valid[:nb * Dcap].sum())} detections"
-            )
+            print(f"  batch {start // B}: {nb} images, {int(ok[: nb * Dcap].sum())} detections")
     if verbose:
         n_images = len({v["im_filename"] for v in out.values()})
         print(f"Found markers in {n_images} images ({total_det} detections).")
