@@ -1,0 +1,58 @@
+"""Large-graph solver path: chunked power graph + LOBPCG vs the dense core."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from vican_tpu.solver import core, pack_problem
+from vican_tpu.solver.scale import so3_sync_large, sort_edges_by_time
+from vican_tpu.synthetic import make_problem_arrays
+from vican_tpu.ops.lie import distance_so3
+
+
+@pytest.fixture(scope="module")
+def problem():
+    prob = make_problem_arrays(
+        seed=13, n_cams=40, n_times=256, n_markers=8, n_edges=6000,
+        kappa_r=1e5, sigma_t=1e-4,
+    )
+    packed = pack_problem(
+        prob.edges, prob.constraints(), lambda e: 1.0, lambda e: 1.0, lambda e: True,
+        dtype=np.float64,
+    )
+    return prob, packed
+
+
+def test_large_path_matches_core(problem):
+    prob, p = problem
+    C, T = p.num_cams, p.num_times
+    KR = core.fold_constraints(
+        jnp.asarray(p.R_e), jnp.asarray(p.k_r), jnp.asarray(p.marker_idx),
+        jnp.asarray(p.R_con), p.root_idx,
+    )
+    dense = core.so3_sync(
+        KR, jnp.asarray(p.k_r), jnp.asarray(p.cam_idx), jnp.asarray(p.time_idx),
+        C=C, T=T, maxiter=jnp.asarray(4, jnp.int32),
+    )
+    chunked = sort_edges_by_time(np.asarray(KR), p.k_r, p.cam_idx, p.time_idx, T, 64)
+    large = so3_sync_large(
+        *[jnp.asarray(x) for x in chunked],
+        C=C, T=T, chunk_t=64, maxiter=jnp.asarray(4, jnp.int32),
+    )
+    d_cam = np.asarray(distance_so3(dense.r_cam, large.r_cam))
+    d_time = np.asarray(distance_so3(dense.r_time, large.r_time))
+    assert d_cam.max() < 0.06, d_cam.max()  # ~1e-3 rad parity target
+    assert d_time.max() < 0.06, d_time.max()
+
+
+def test_chunking_roundtrip(problem):
+    prob, p = problem
+    KR = np.asarray(core.fold_constraints(
+        jnp.asarray(p.R_e), jnp.asarray(p.k_r), jnp.asarray(p.marker_idx),
+        jnp.asarray(p.R_con), p.root_idx,
+    ))
+    KR_s, k_s, cam_s, tloc_s = sort_edges_by_time(KR, p.k_r, p.cam_idx, p.time_idx, p.num_times, 64)
+    # total weight and block mass preserved
+    assert np.isclose(k_s.sum(), p.k_r.sum())
+    assert np.isclose(np.abs(KR_s).sum(), np.abs(KR).sum(), rtol=1e-12)
+    # every edge's global time = chunk * 64 + tloc, within range
+    assert tloc_s.max() < 64

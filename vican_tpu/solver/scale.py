@@ -1,0 +1,283 @@
+"""Large-graph SO(3) sync: the 10k-camera / million-edge path.
+
+The default solver (:mod:`vican_tpu.solver.core`) materializes the block
+tensor ``B (C, 3, T, 3)`` — perfect up to a few hundred cameras, impossible
+at C = 10k, T = 10k (3.6 TB).  This module keeps the same primal-dual
+algorithm (reference vican/bipgo.py:145-350) with two scale substitutions:
+
+1. **Chunked power-graph accumulation**: edges are sorted by timestep on the
+   host; the device loops over fixed-size time chunks, scatters each chunk's
+   edges into a small ``(C, 3, Tc, 3)`` block, and accumulates
+   ``R~ += B_c Lambda_c B_c^T`` — the dense (3C, 3C) power graph (3.6 GB at
+   C = 10k) is built by a stream of MXU matmuls without any T-sized dense
+   intermediate.
+2. **LOBPCG eigensolver**: the bottom-5 eigenpairs of the (3C, 3C) Laplacian
+   come from ``jax.experimental.sparse.linalg.lobpcg_standard`` on the
+   spectrally flipped operator ``sigma I - L`` (sigma = Gershgorin upper
+   bound), replacing the dense ``eigh`` (O((3C)^3) is minutes at 30k) and
+   mirroring the role of ARPACK shift-invert in the reference (bipgo.py:288).
+
+Per-time-node dual updates remain embarrassingly parallel vmapped SVDs; the
+``R_ct^T r`` products reuse the chunked blocks.  This is the "sequence
+parallel" axis of SURVEY.md §5 — multi-chip sharding splits the chunk stream
+across devices and ``psum``s the (3C, 3C) partials.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..ops.lie import project_so3, svd3_so3
+from .core import HIGHEST, SyncResult
+
+__all__ = ["sort_edges_by_time", "so3_sync_large"]
+
+
+def sort_edges_by_time(KR, k_r, cam_idx, time_idx, T: int, chunk_t: int):
+    """Host-side preparation: sort edges by timestep and chunk uniformly.
+
+    Returns ``(KR_s, k_r_s, cam_s, tloc_s, chunk_of_edge)`` where edges are
+    grouped into ``ceil(T / chunk_t)`` chunks of equal edge capacity (padded
+    with zero-weight edges), ``tloc`` is the timestep index local to the
+    chunk.  All outputs are NumPy; shapes are static for the device loop.
+    """
+    KR = np.asarray(KR)
+    k_r = np.asarray(k_r)
+    cam_idx = np.asarray(cam_idx)
+    time_idx = np.asarray(time_idx)
+
+    n_chunks = -(-T // chunk_t)
+    chunk_of = time_idx // chunk_t
+    order = np.argsort(chunk_of, kind="stable")
+    KR, k_r, cam_idx, time_idx, chunk_of = (
+        KR[order], k_r[order], cam_idx[order], time_idx[order], chunk_of[order]
+    )
+    counts = np.bincount(chunk_of, minlength=n_chunks)
+    cap = int(counts.max()) if len(counts) else 1
+    E_out = n_chunks * cap
+
+    KR_s = np.zeros((n_chunks, cap, 3, 3), KR.dtype)
+    k_s = np.zeros((n_chunks, cap), k_r.dtype)
+    cam_s = np.zeros((n_chunks, cap), np.int32)
+    tloc_s = np.zeros((n_chunks, cap), np.int32)
+    starts = np.concatenate([[0], np.cumsum(counts)])
+    for c in range(n_chunks):
+        s, e = starts[c], starts[c + 1]
+        n = e - s
+        KR_s[c, :n] = KR[s:e]
+        k_s[c, :n] = k_r[s:e]
+        cam_s[c, :n] = cam_idx[s:e]
+        tloc_s[c, :n] = time_idx[s:e] - c * chunk_t
+    return KR_s, k_s, cam_s, tloc_s
+
+
+def _estimate_lmax(L, iters: int = 16):
+    """Largest eigenvalue of symmetric PSD-ish L via power iteration."""
+    n = L.shape[0]
+    v = jnp.cos(jnp.arange(n, dtype=L.dtype))  # deterministic start
+    v = v / jnp.linalg.norm(v)
+
+    def body(_, v):
+        w = jnp.matmul(L, v, precision=HIGHEST)
+        return w / jnp.maximum(jnp.linalg.norm(w), 1e-30)
+
+    v = lax.fori_loop(0, iters, body, v)
+    return jnp.vdot(v, jnp.matmul(L, v, precision=HIGHEST))
+
+
+def _cheb_filter(L, X, deg: int, a, b, a0=0.0):
+    """Scaled Chebyshev filter (Zhou et al. CheFSI): damp [a, b], amplify
+    the spectrum below ``a`` (where the Laplacian kernel lives)."""
+    e = (b - a) * 0.5
+    c = (b + a) * 0.5
+    sigma1 = e / (a0 - c)
+    tau = 2.0 / sigma1  # fixed by the first sigma (three-term recurrence)
+
+    def mv(X):
+        return jnp.matmul(L, X, precision=HIGHEST)
+
+    Y = (mv(X) - c * X) * (sigma1 / e)
+
+    def body(_, state):
+        X, Y, sigma = state
+        sigma2 = 1.0 / (tau - sigma)
+        Ynew = 2.0 * (sigma2 / e) * (mv(Y) - c * Y) - (sigma * sigma2) * X
+        return (Y, Ynew, sigma2)
+
+    X, Y, _ = lax.fori_loop(0, deg - 1, body, (X, Y, sigma1))
+    return Y
+
+
+def _chefsi_bottom(L, X, k: int, deg: int, rounds: int):
+    """Bottom-k eigenpairs via Chebyshev-filtered subspace iteration.
+
+    ``X (n, m)`` with m >= k is the (warm-startable) subspace; returns
+    ``(evals ascending (k,), vectors (n, k), X_next (n, m))``.  The filter
+    suppresses [0.05 * lmax, lmax], so the near-kernel directions the
+    primal rounding needs converge in a couple of rounds — unlike plain or
+    flipped-spectrum power methods whose rate collapses when
+    lambda_4 << lmax (the regime ARPACK's shift-invert handles in the
+    reference, bipgo.py:288).
+    """
+    lmax = _estimate_lmax(L) * 1.05
+    a = 0.05 * lmax
+
+    def round_body(_, X):
+        Xf = _cheb_filter(L, X, deg, a, lmax)
+        Q, _ = jnp.linalg.qr(Xf)
+        return Q
+
+    Q = lax.fori_loop(0, rounds, round_body, X)
+    S = jnp.matmul(Q.T, jnp.matmul(L, Q, precision=HIGHEST), precision=HIGHEST)
+    S = 0.5 * (S + S.T)
+    theta, W = jnp.linalg.eigh(S)  # ascending
+    V = jnp.matmul(Q, W, precision=HIGHEST)
+    return theta[:k], V[:, :k], V
+
+
+@partial(jax.jit, static_argnames=("C", "T", "chunk_t", "cheb_degree", "cheb_rounds", "subspace"))
+def so3_sync_large(
+    KR_s,
+    k_s,
+    cam_s,
+    tloc_s,
+    *,
+    C: int,
+    T: int,
+    chunk_t: int,
+    maxiter,
+    cert_tol=1e-6,
+    cheb_degree: int = 60,
+    cheb_rounds: int = 2,
+    subspace: int = 10,
+) -> SyncResult:
+    """Primal-dual SO(3) sync without the dense (C, 3, T, 3) block tensor.
+
+    Inputs are the chunked edge arrays from :func:`sort_edges_by_time`.
+    Mathematically identical to :func:`vican_tpu.solver.core.so3_sync`
+    (same init, update order and certificate — bipgo.py:145-350); tested for
+    parity in tests/test_scale.py.
+    """
+    dtype = KR_s.dtype
+    n_chunks, cap = k_s.shape
+
+    deg_t = jnp.zeros((n_chunks, chunk_t), dtype)
+    deg_t = jax.vmap(lambda d, t, k: d.at[t].add(k))(deg_t, tloc_s, k_s)
+    deg_c = jnp.zeros((C,), dtype).at[cam_s.reshape(-1)].add(k_s.reshape(-1))
+
+    # All chunk tensors stay strictly 2-D: TPU tiled layouts pad the
+    # minor-most dimension to 128, so a (C, 3, Tc, 3) block would cost 42x
+    # its logical size in HBM.  A chunk is a (3C, 3*Tc) matrix; the time
+    # dual is applied as a small (3*Tc, 3*Tc) block-diagonal matmul.
+    three_c = 3 * C
+    three_t = 3 * chunk_t
+    a3 = jnp.arange(3, dtype=jnp.int32)
+
+    def chunk_block(c):
+        """Scatter chunk c's edges into a (3C, 3*Tc) matrix."""
+        rows = 3 * cam_s[c][:, None, None] + a3[None, :, None]
+        cols = 3 * tloc_s[c][:, None, None] + a3[None, None, :]
+        return jnp.zeros((three_c, three_t), dtype).at[rows, cols].add(KR_s[c])
+
+    def chunk_lbd(lbd_t, c):
+        """(3*Tc, 3*Tc) block-diagonal of the chunk's time duals."""
+        lc = lax.dynamic_slice(lbd_t, (c * chunk_t, 0, 0), (chunk_t, 3, 3))
+        tt = jnp.arange(chunk_t, dtype=jnp.int32)
+        rows = 3 * tt[:, None, None] + a3[None, :, None]
+        cols = 3 * tt[:, None, None] + a3[None, None, :]
+        return jnp.zeros((three_t, three_t), dtype).at[rows, cols].add(lc)
+
+    def power_graph(lbd_t):
+        """R~ = sum_c B_c Lambda_c B_c^T accumulated over time chunks."""
+
+        def body(c, acc):
+            B = chunk_block(c)
+            Y = jnp.matmul(B, chunk_lbd(lbd_t, c), precision=HIGHEST)
+            return acc + jnp.matmul(Y, B.T, precision=HIGHEST)
+
+        return lax.fori_loop(0, n_chunks, body, jnp.zeros((three_c, three_c), dtype))
+
+    def time_products(r_c):
+        """rt_raw[t] = sum_i M_it^T r_c[i], chunked over time."""
+        r_flat = r_c.reshape(three_c, 3)
+
+        def body(c, acc):
+            B = chunk_block(c)
+            rt = jnp.matmul(B.T, r_flat, precision=HIGHEST)  # (3*Tc, 3)
+            return lax.dynamic_update_slice(acc, rt.reshape(chunk_t, 3, 3), (c * chunk_t, 0, 0))
+
+        return lax.fori_loop(0, n_chunks, body, jnp.zeros((n_chunks * chunk_t, 3, 3), dtype))
+
+    eye3 = jnp.eye(3, dtype=dtype)
+    lbd_t0 = (eye3 / jnp.maximum(deg_t.reshape(-1), 1e-30)[:, None, None])
+    lbd_c0 = deg_c[:, None, None] * eye3
+
+    def cond(state):
+        it, max_eval, *_ = state
+        return (it < maxiter) & (max_eval > cert_tol)
+
+    def body(state):
+        it, _, lbd_c, lbd_t, _, _, _, _, X = state
+
+        pwr = power_graph(lbd_t)
+        # diagonal-block add in 2-D indexing (a (C,3,C,3) view would cost a
+        # 42x padded layout at this scale)
+        cc = jnp.arange(C, dtype=jnp.int32)
+        rows = 3 * cc[:, None, None] + a3[None, :, None]
+        cols = 3 * cc[:, None, None] + a3[None, None, :]
+        L = (-pwr).at[rows, cols].add(lbd_c)
+        L = 0.5 * (L + L.T)
+
+        scale = jnp.maximum(jnp.max(jnp.abs(jnp.diagonal(L))), 1e-30)
+        evals5, V5, X_next = _chefsi_bottom(L / scale, X, 5, cheb_degree, cheb_rounds)
+        evals5 = evals5 * scale
+        eigengap = jnp.abs(evals5[3] / evals5[2])
+        max_eval = jnp.max(jnp.abs(evals5))
+
+        V3 = V5[:, :3]
+        r = jnp.matmul(V3, jnp.linalg.inv(V3[:3, :3]), precision=HIGHEST)
+        r_blocks = project_so3(r.reshape(C, 3, 3))
+
+        rtr = jnp.matmul(pwr, r_blocks.reshape(3 * C, 3), precision=HIGHEST).reshape(C, 3, 3)
+        r_c, u, s, _ = svd3_so3(rtr)
+        lbd_c_new = jnp.einsum("cab,cb,cdb->cad", u, s, u, precision=HIGHEST)
+
+        rt_raw = time_products(r_c)
+        r_t, ut, st, _ = svd3_so3(rt_raw)
+        lbd_t_new = jnp.einsum(
+            "tab,tb,tdb->tad", ut, 1.0 / jnp.maximum(st, 1e-30), ut, precision=HIGHEST
+        )
+
+        return (it + 1, max_eval, lbd_c_new, lbd_t_new, r_c, r_t, evals5, eigengap, X_next)
+
+    # deterministic subspace start (warm-started across iterations)
+    n = 3 * C
+    ii = jnp.arange(n, dtype=dtype)[:, None]
+    jj = jnp.arange(subspace, dtype=dtype)[None, :]
+    X0 = jnp.cos(ii * (jj + 1.0) * 0.37 + jj)
+    X0, _ = jnp.linalg.qr(X0)
+
+    init = (
+        jnp.zeros((), jnp.int32),
+        jnp.asarray(1.0, dtype),
+        lbd_c0,
+        lbd_t0,
+        jnp.broadcast_to(eye3, (C, 3, 3)),
+        jnp.broadcast_to(eye3, (n_chunks * chunk_t, 3, 3)),
+        jnp.zeros((5,), dtype),
+        jnp.asarray(0.0, dtype),
+        X0,
+    )
+    it, _, _, _, r_c, r_t, evals5, eigengap, _ = lax.while_loop(cond, body, init)
+
+    return SyncResult(
+        r_cam=jnp.swapaxes(r_c, -1, -2),
+        r_time=jnp.swapaxes(r_t[:T], -1, -2),
+        evals=evals5,
+        eigengap=eigengap,
+        num_iters=it,
+    )
