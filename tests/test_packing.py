@@ -41,12 +41,18 @@ def test_c_and_python_packers_agree(prob, monkeypatch):
     np.testing.assert_allclose(p_c.k_t, p_py.k_t, atol=1e-6)
 
 
-def test_missing_marker_constraint_raises(prob):
+def test_missing_marker_constraint_drops_with_warning(prob):
+    """The reference KeyErrors on unconstrained markers (bipgo.py:209); we
+    drop those edges with a warning instead."""
     constraints = prob.constraints()
     constraints.pop("3")
-    with pytest.raises(KeyError):
-        pack_problem(prob.edges, constraints, lambda e: 1.0, lambda e: 1.0,
-                     lambda e: True, dtype=np.float32)
+    with pytest.warns(UserWarning, match="no constraint"):
+        p = pack_problem(prob.edges, constraints, lambda e: 1.0, lambda e: 1.0,
+                         lambda e: True, dtype=np.float32)
+    full = pack_problem(prob.edges, prob.constraints(), lambda e: 1.0, lambda e: 1.0,
+                        lambda e: True, dtype=np.float32)
+    assert p.num_edges < full.num_edges
+    assert "3" not in p.marker_ids
 
 
 def test_malformed_key_raises(prob):

@@ -38,10 +38,11 @@ static int split_tm(PyObject *tm, PyObject **t_out, PyObject **m_out) {
 }
 
 /* pack_edges(src_edges, edge_filter, noise_r, noise_t, marker2idx)
- *   -> (kept_values, cams, times, markers, k_r, k_t)
+ *   -> (kept_values, cams, times, markers, k_r, k_t, skipped)
  * where kept_values is a list of the kept edge dicts (for pose extraction in
- * numpy), cams/times are lists of str, markers a list of int indexes, and
- * k_r/k_t lists of floats.  Python-side code turns these into arrays.
+ * numpy), cams/times are lists of str, markers a list of int indexes,
+ * k_r/k_t lists of floats, and skipped counts edges whose marker has no
+ * constraint (dropped — the solver cannot fold them).
  */
 static PyObject *pack_edges(PyObject *self, PyObject *args) {
     PyObject *src_edges, *edge_filter, *noise_r, *noise_t, *marker2idx;
@@ -54,6 +55,7 @@ static PyObject *pack_edges(PyObject *self, PyObject *args) {
     }
 
     Py_ssize_t n = PyDict_Size(src_edges);
+    Py_ssize_t skipped = 0;
     PyObject *kept = PyList_New(0);
     PyObject *cams = PyList_New(0);
     PyObject *times = PyList_New(0);
@@ -84,10 +86,11 @@ static PyObject *pack_edges(PyObject *self, PyObject *args) {
 
         PyObject *midx = PyDict_GetItem(marker2idx, m); /* borrowed */
         if (midx == NULL) {
-            PyErr_Format(PyExc_KeyError, "marker %R not in constraints", m);
+            /* no constraint for this marker: the edge cannot be folded */
+            skipped++;
             Py_DECREF(t);
             Py_DECREF(m);
-            goto fail;
+            continue;
         }
         Py_DECREF(m);
 
@@ -105,7 +108,7 @@ static PyObject *pack_edges(PyObject *self, PyObject *args) {
         if (bad) goto fail;
     }
     (void)n;
-    return Py_BuildValue("(NNNNNN)", kept, cams, times, markers, krs, kts);
+    return Py_BuildValue("(NNNNNNn)", kept, cams, times, markers, krs, kts, skipped);
 
 fail:
     Py_XDECREF(kept);

@@ -166,6 +166,7 @@ def bipartite_se3sync(
     import jax
     import jax.numpy as jnp
 
+    requested = np.dtype(dtype)
     dtype = _solver_dtype(dtype)
     tm = PhaseTimer(verbose=verbose)
     tm.log(
@@ -185,6 +186,50 @@ def bipartite_se3sync(
 
     arrs = _device_arrays(packed, dtype)
     C, T = packed.num_cams, packed.num_times
+
+    # Reference-grade f64: when the caller asked for float64 but the device
+    # computes f32 (TPU), the translation stage runs on the host in f64 —
+    # extreme noise-model weight ranges (area**6 spans ~1e-6..1, main.ipynb
+    # cell 3) are unresolvable in f32 normal equations.  Rotations stay on
+    # device (f32 with HIGHEST matmuls matches f64 — tests/test_solver.py).
+    from .solver.host_fallback import MAX_HOST_EDGES, solve_translations_host
+
+    host_f64_translations = (
+        requested == np.float64
+        and dtype != np.float64
+        and packed.num_edges <= MAX_HOST_EDGES
+    )
+
+    if host_f64_translations:
+        with tm.phase("Optimizing (device) + solving (host f64)") as ev:
+            with jax.default_matmul_precision("highest"):
+                KR = _core.fold_constraints(
+                    arrs["R_e"], arrs["k_r"], arrs["marker_idx"], arrs["R_con"],
+                    packed.root_idx,
+                )
+                result = _core.so3_sync(
+                    KR, arrs["k_r"], arrs["cam_idx"], arrs["time_idx"],
+                    C=C, T=T, maxiter=jnp.asarray(maxiter, jnp.int32),
+                )
+            r_cam = np.asarray(result.r_cam)
+            r_time = np.asarray(result.r_time)
+            t_est, res = solve_translations_host(packed, r_cam, r_time, lsqr_solver)
+            ev["sync"] = result
+        if verbose:
+            tm.log(
+                "Iterations: {}  evals: {}  eigengap: {:1.3e}".format(
+                    int(result.num_iters), np.asarray(result.evals), float(result.eigengap)
+                )
+            )
+        if res > 1e-3:
+            warnings.warn(f"translation solve residual {res:.3e} (poorly converged)")
+        out = {}
+        for i, c in enumerate(packed.cam_ids):
+            out[c] = SE3(R=r_cam[i], t=t_est[i])
+        for j, t in enumerate(packed.time_ids):
+            out[t + "_0"] = SE3(R=r_time[j], t=t_est[C + j])
+        tm.log("Done!")
+        return out
 
     with tm.phase("Optimizing + solving (fused device program)") as ev:
         with jax.default_matmul_precision("highest"):

@@ -76,6 +76,7 @@ class DetectorParams(NamedTuple):
     max_border_err_rate: float = 0.35  # erroneous border bits tolerated
     error_correction_bits: int = 0  # Hamming budget for id matching
     decode_samples: int = 3  # NxN samples per bit cell
+    use_pallas_threshold: bool = False  # fused single-pass TPU threshold kernel
 
 
 def preprocess(im, brightness: float = 0.0, contrast: float = 0.0):
@@ -470,9 +471,14 @@ def detect_markers(gray, table, n_bits: int, params: DetectorParams) -> Detectio
     # The threshold sweep differs only in the (static) window size; every
     # later stage runs batched over the window axis in ONE program — 7x fewer
     # dispatches and a much smaller XLA graph than a per-window loop.
-    fgs = jnp.stack(
-        [adaptive_threshold(gray, w, params.thresh_const) for w in params.win_sizes]
-    )  # (Wn, H, W)
+    if params.use_pallas_threshold:
+        from .pallas.threshold import multi_threshold
+
+        fgs = multi_threshold(gray, params.win_sizes, params.thresh_const) > 0.5
+    else:
+        fgs = jnp.stack(
+            [adaptive_threshold(gray, w, params.thresh_const) for w in params.win_sizes]
+        )  # (Wn, H, W)
     labels = jax.vmap(lambda f: connected_components(f, params.ccl_passes))(fgs)
     cand = jax.vmap(lambda l: extract_quads(l, params))(labels)
 

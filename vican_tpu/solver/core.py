@@ -189,9 +189,11 @@ def so3_sync(KR, k_r, cam_idx, time_idx, *, C: int, T: int, maxiter, cert_tol=1e
         # One contraction over B3 — r_t[t] = sum_i M_it^T r_c[i].
         rt_raw = jnp.einsum("iatb,iac->tbc", B3, r_c, precision=HIGHEST)
         r_t, ut, st, _ = svd3_so3(rt_raw)
-        lbd_t_new = jnp.einsum(
-            "tab,tb,tdb->tad", ut, 1.0 / jnp.maximum(st, 1e-30), ut, precision=HIGHEST
-        )
+        # pseudo-inverse guard: a (near-)rank-deficient time block would put
+        # ~1e30 into Lambda_T and blow up the next power graph; zeroing the
+        # tiny directions is the stable generalization of bipgo.py:329.
+        st_inv = jnp.where(st > 1e-9 * st[..., :1], 1.0 / jnp.maximum(st, 1e-30), 0.0)
+        lbd_t_new = jnp.einsum("tab,tb,tdb->tad", ut, st_inv, ut, precision=HIGHEST)
 
         return (it + 1, max_eval, lbd_c_new, lbd_t_new, r_c, r_t, evals5, eigengap)
 

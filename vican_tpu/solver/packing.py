@@ -19,6 +19,16 @@ import numpy as np
 __all__ = ["PackedProblem", "pack_problem", "pack_constraints"]
 
 
+def _warn_unconstrained(n: int):
+    import warnings
+
+    warnings.warn(
+        f"dropping {n} edge(s) whose marker has no constraint pose "
+        "(the reference raises KeyError here — bipgo.py:209)",
+        stacklevel=4,
+    )
+
+
 @dataclass
 class PackedProblem:
     """A bipartite camera<->time pose graph in array form.
@@ -108,9 +118,11 @@ def pack_problem(
     if fastpack is not None:
         # C path: filtering, key parsing and array fills run natively; only
         # the user callables execute in the interpreter.
-        kept_vals, cams, times, markers, krs, kts = fastpack.pack_edges(
+        kept_vals, cams, times, markers, krs, kts, skipped = fastpack.pack_edges(
             src_edges, edge_filter, noise_model_r, noise_model_t, marker2idx
         )
+        if skipped:
+            _warn_unconstrained(skipped)
         if not kept_vals:
             raise ValueError("edge_filter removed every edge; nothing to synchronize")
         E = len(kept_vals)
@@ -127,6 +139,10 @@ def pack_problem(
         # Pure-Python path (also the float64 path); identical output —
         # tests/test_packing.py cross-checks the two.
         kept = [(k, v) for k, v in src_edges.items() if edge_filter(v)]
+        n_before = len(kept)
+        kept = [(k, v) for k, v in kept if k[1].split("_")[1] in marker2idx]
+        if len(kept) < n_before:
+            _warn_unconstrained(n_before - len(kept))
         if not kept:
             raise ValueError("edge_filter removed every edge; nothing to synchronize")
         cams = [k[0] for k, _ in kept]
@@ -149,6 +165,58 @@ def pack_problem(
     time2idx = {t: i for i, t in enumerate(time_ids)}
     cam_idx = np.array([cam2idx[c] for c in cams], dtype=np.int32)
     time_idx = np.array([time2idx[t] for t in times], dtype=np.int32)
+
+    # The sync problem is well-posed only on a connected graph: each extra
+    # component adds 3 kernel dimensions to the Laplacian and the primal
+    # rounding (bipgo.py:295) mixes them into garbage (the reference
+    # implementation NaNs out in the same situation).  Keep the largest
+    # component and surface the drop.
+    n_cams_all = len(cam_ids)
+    parent = list(range(n_cams_all + len(time_ids)))
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for ci, ti in zip(cam_idx, time_idx):
+        ra, rb = find(int(ci)), find(n_cams_all + int(ti))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    roots = np.array([find(i) for i in range(len(parent))])
+    largest = np.bincount(roots).argmax()
+    keep_edge = roots[cam_idx] == largest
+    if not keep_edge.all():
+        import warnings
+
+        n_dropped_cams = int((roots[:n_cams_all] != largest).sum())
+        warnings.warn(
+            f"pose graph is disconnected: dropping {int((~keep_edge).sum())} edges "
+            f"and {n_dropped_cams} camera node(s) outside the largest component",
+            stacklevel=3,
+        )
+        kept = np.nonzero(keep_edge)[0]
+        R_e, t_e, k_r, k_t = (a[kept] for a in (R_e, t_e, k_r, k_t))
+        marker_idx = marker_idx[kept]
+        kept_cam_names = [cams[i] for i in kept]
+        kept_time_names = [times[i] for i in kept]
+        cam_ids = sorted(set(kept_cam_names))
+        time_ids = sorted(set(kept_time_names))
+        cam2idx = {c: i for i, c in enumerate(cam_ids)}
+        time2idx = {t: i for i, t in enumerate(time_ids)}
+        cam_idx = np.array([cam2idx[c] for c in kept_cam_names], dtype=np.int32)
+        time_idx = np.array([time2idx[t] for t in kept_time_names], dtype=np.int32)
+
+    if np.dtype(dtype) == np.float32:
+        # The tutorial's noise models reach areas**6 ~ 1e16 (main.ipynb cell
+        # 3); squared norms of such weights overflow float32.  The solve is
+        # invariant to a global weight scale (it multiplies the Laplacian /
+        # the LSQ system uniformly), so normalize to max = 1 in f32.
+        for arr in (k_r, k_t):
+            m = float(np.max(np.abs(arr))) if arr.size else 0.0
+            if m > 0:
+                arr /= m
 
     return PackedProblem(
         cam_ids=cam_ids,

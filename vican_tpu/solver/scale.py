@@ -11,11 +11,12 @@ algorithm (reference vican/bipgo.py:145-350) with two scale substitutions:
    ``R~ += B_c Lambda_c B_c^T`` — the dense (3C, 3C) power graph (3.6 GB at
    C = 10k) is built by a stream of MXU matmuls without any T-sized dense
    intermediate.
-2. **LOBPCG eigensolver**: the bottom-5 eigenpairs of the (3C, 3C) Laplacian
-   come from ``jax.experimental.sparse.linalg.lobpcg_standard`` on the
-   spectrally flipped operator ``sigma I - L`` (sigma = Gershgorin upper
-   bound), replacing the dense ``eigh`` (O((3C)^3) is minutes at 30k) and
-   mirroring the role of ARPACK shift-invert in the reference (bipgo.py:288).
+2. **CheFSI eigensolver**: the bottom-5 eigenpairs of the (3C, 3C) Laplacian
+   come from scaled Chebyshev-filtered subspace iteration (warm-started
+   across primal-dual iterations), replacing the dense ``eigh``
+   (O((3C)^3) is minutes at 30k) and filling the role of ARPACK
+   shift-invert in the reference (bipgo.py:288) — plain or
+   flipped-spectrum power methods stall when lambda_4 << lambda_max.
 
 Per-time-node dual updates remain embarrassingly parallel vmapped SVDs; the
 ``R_ct^T r`` products reuse the chunked blocks.  This is the "sequence
@@ -248,9 +249,11 @@ def so3_sync_large(
 
         rt_raw = time_products(r_c)
         r_t, ut, st, _ = svd3_so3(rt_raw)
-        lbd_t_new = jnp.einsum(
-            "tab,tb,tdb->tad", ut, 1.0 / jnp.maximum(st, 1e-30), ut, precision=HIGHEST
-        )
+        # pseudo-inverse guard: a (near-)rank-deficient time block would put
+        # ~1e30 into Lambda_T and blow up the next power graph; zeroing the
+        # tiny directions is the stable generalization of bipgo.py:329.
+        st_inv = jnp.where(st > 1e-9 * st[..., :1], 1.0 / jnp.maximum(st, 1e-30), 0.0)
+        lbd_t_new = jnp.einsum("tab,tb,tdb->tad", ut, st_inv, ut, precision=HIGHEST)
 
         return (it + 1, max_eval, lbd_c_new, lbd_t_new, r_c, r_t, evals5, eigengap, X_next)
 

@@ -14,10 +14,18 @@ from typing import Any
 
 
 class PhaseTimer:
-    """Collects named phase durations; optionally prints like the reference."""
+    """Collects named phase durations; optionally prints like the reference.
 
-    def __init__(self, verbose: bool = True):
+    Set ``trace=True`` (or env ``VICAN_TPU_TRACE=/path``) to also emit
+    ``jax.profiler.TraceAnnotation`` ranges so phases show up in a captured
+    profiler trace.
+    """
+
+    def __init__(self, verbose: bool = True, trace: bool = False):
+        import os
+
         self.verbose = verbose
+        self.trace = trace or bool(os.environ.get("VICAN_TPU_TRACE"))
         self.events: list[dict[str, Any]] = []
 
     @contextmanager
@@ -25,6 +33,12 @@ class PhaseTimer:
         """Time a phase.  ``sync`` may be a pytree of device arrays to block on."""
         if self.verbose:
             print(name, end=" ", flush=True)
+        ann = None
+        if self.trace:
+            import jax.profiler
+
+            ann = jax.profiler.TraceAnnotation(name)
+            ann.__enter__()
         start = time.perf_counter()
         out: dict[str, Any] = {"name": name}
         try:
@@ -37,6 +51,8 @@ class PhaseTimer:
             dur = time.perf_counter() - start
             out["seconds"] = dur
             self.events.append(out)
+            if ann is not None:
+                ann.__exit__(None, None, None)
             if self.verbose:
                 print("({:.3f}s).".format(dur))
 
