@@ -21,6 +21,10 @@ import time
 import numpy as np
 
 REPO = os.path.dirname(os.path.abspath(__file__))
+
+# Persistent XLA compilation cache: the fused solver program compiles in
+# minutes through the remote-compile tunnel; cache it across bench runs.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(REPO, ".jax_cache"))
 sys.path.insert(0, REPO)
 CACHE_PATH = os.path.join(REPO, "benchmarks", "baseline_cache.json")
 REFERENCE = "/root/reference"
@@ -49,9 +53,11 @@ def run_ours(prob):
         return time.perf_counter() - t0, out
 
     _warm, out = once()  # compile + cache shapes
-    t1, out = once()
-    t2, _ = once()
-    return min(t1, t2), _warm, out
+    times = []
+    for _ in range(3):
+        t, out = once()
+        times.append(t)
+    return min(times), _warm, out
 
 
 def run_reference(prob):

@@ -275,13 +275,14 @@ def bipartite_se3sync(
     out = {}
     if poses44 is not None:
         poses44 = np.asarray(poses44)
-        # SE3(R=, t=) keeps the solver dtype (the pose= ctor casts to float32,
-        # which through arccos cancellation would cap rotation accuracy at
-        # ~0.02 deg — the reference's outputs keep full precision too).
+        # zero-copy views keep the solver dtype (a float32 cast through the
+        # pose= ctor would cap rotation accuracy at ~0.02 deg via arccos
+        # cancellation) and skip 10k+ per-node allocations.
+        from_pose = SE3._from_pose_view
         for i, c in enumerate(packed.cam_ids):
-            out[c] = SE3(R=poses44[i, :3, :3], t=poses44[i, :3, 3])
+            out[c] = from_pose(poses44[i])
         for j, t in enumerate(packed.time_ids):
-            out[t + "_0"] = SE3(R=poses44[C + j, :3, :3], t=poses44[C + j, :3, 3])
+            out[t + "_0"] = from_pose(poses44[C + j])
     else:
         r_cam = np.asarray(result.r_cam)
         r_time = np.asarray(result.r_time)

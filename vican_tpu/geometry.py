@@ -153,6 +153,16 @@ class SE3:
             pose[-1, -1] = 1.0
             self._pose = pose
 
+    @classmethod
+    def _from_pose_view(cls, pose: np.ndarray) -> "SE3":
+        """Zero-copy construction from an existing 4x4 array (solver output
+        fast path: no dtype cast, no per-instance allocation)."""
+        obj = object.__new__(cls)
+        object.__setattr__(obj, "_pose", pose)
+        object.__setattr__(obj, "_R", pose[:3, :3])
+        object.__setattr__(obj, "_t", pose[:3, 3])
+        return obj
+
     def R(self) -> np.ndarray:
         """3x3 rotation block."""
         return self._R

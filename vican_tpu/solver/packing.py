@@ -172,19 +172,32 @@ def pack_problem(
     # implementation NaNs out in the same situation).  Keep the largest
     # component and surface the drop.
     n_cams_all = len(cam_ids)
-    parent = list(range(n_cams_all + len(time_ids)))
+    n_nodes = n_cams_all + len(time_ids)
+    try:
+        from scipy.sparse import coo_matrix
+        from scipy.sparse.csgraph import connected_components
 
-    def find(a):
-        while parent[a] != a:
-            parent[a] = parent[parent[a]]
-            a = parent[a]
-        return a
+        adj = coo_matrix(
+            (np.ones(len(cam_idx), np.int8), (cam_idx, n_cams_all + time_idx)),
+            shape=(n_nodes, n_nodes),
+        )
+        n_comp, roots = connected_components(adj, directed=False)
+    except ImportError:  # pure-Python union-find fallback
+        parent = list(range(n_nodes))
 
-    for ci, ti in zip(cam_idx, time_idx):
-        ra, rb = find(int(ci)), find(n_cams_all + int(ti))
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-    roots = np.array([find(i) for i in range(len(parent))])
+        def find(a):
+            while parent[a] != a:
+                parent[a] = parent[parent[a]]
+                a = parent[a]
+            return a
+
+        for ci, ti in zip(cam_idx, time_idx):
+            ra, rb = find(int(ci)), find(n_cams_all + int(ti))
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        roots = np.array([find(i) for i in range(n_nodes)])
+        n_comp = len(np.unique(roots))
+    del n_comp
     largest = np.bincount(roots).argmax()
     keep_edge = roots[cam_idx] == largest
     if not keep_edge.all():
