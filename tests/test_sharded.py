@@ -59,3 +59,45 @@ def test_full_se3sync_sharded_matches_api(packed):
         assert np.allclose(r_cam[i], np.asarray(pose_est[c].R()), atol=1e-6)
         # translations agree up to the shared CG tolerance
         assert np.allclose(t_est[i], pose_est[c].t(), atol=1e-3)
+
+
+def test_perception_mesh_matches_single(tmp_path):
+    """Data-parallel perception over the 8-device mesh == single device."""
+    import cv2 as cv
+
+    pytest_cv = cv  # importorskip happens at module scope in other files
+    from vican_tpu.cam import Camera, estimate_pose_mp
+    from vican_tpu.render import look_at, make_cube_markers, render_dataset
+    from vican_tpu.geometry import SE3, rodrigues
+    from vican_tpu.dataset import Dataset
+
+    rng = np.random.default_rng(5)
+    K = np.array([[400.0, 0, 256], [0, 400.0, 144], [0, 0, 1]])
+    cams = {
+        str(i): Camera(id=str(i), intrinsics=K, distortion=np.zeros(12),
+                       extrinsics=look_at(p, (0, 0, 1.0)), resolution_x=512, resolution_y=288)
+        for i, p in enumerate([(1.8, 0, 1.1), (0, 1.8, 1.2)])
+    }
+    markers = make_cube_markers()
+    traj = {}
+    for t in range(4):
+        v = rng.normal(size=3)
+        v = v / np.linalg.norm(v) * rng.uniform(0, np.pi)
+        traj[str(t)] = SE3(R=rodrigues(v), t=np.array([0.0, 0.0, 1.0]))
+    root = str(tmp_path / "ds")
+    render_dataset(root, cams, traj, markers, marker_size=0.138, marker_px=120)
+    ds = Dataset(root)
+
+    kwargs = dict(
+        im_filenames=ds.im_data["filename"], cams=ds.im_data["cam"],
+        aruco="DICT_4X4_1000", marker_size=0.138,
+        corner_refine="CORNER_REFINE_APRILTAG", marker_ids=[str(i) for i in range(24)],
+        flags="SOLVEPNP_IPPE_SQUARE", brightness=0, contrast=0, batch_size=8,
+        verbose=False,
+    )
+    single = estimate_pose_mp(**kwargs)
+    mesh = make_mesh()
+    sharded = estimate_pose_mp(mesh=mesh, **kwargs)
+    assert set(single.keys()) == set(sharded.keys())
+    for k in single:
+        assert np.allclose(single[k]["pose"].t(), sharded[k]["pose"].t(), atol=1e-5)

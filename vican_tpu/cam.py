@@ -108,6 +108,7 @@ def estimate_pose_mp(
     flags: str,
     marker_ids: Iterable[str] | None,
     batch_size: int = 32,
+    mesh=None,
     verbose: bool = True,
 ) -> dict:
     """Batched marker detection + PnP over all images (vican/cam.py:190-265).
@@ -140,6 +141,7 @@ def estimate_pose_mp(
         contrast=contrast,
         flags=flags,
         batch_size=batch_size,
+        mesh=mesh,
         verbose=verbose,
     )
 

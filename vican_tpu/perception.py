@@ -209,10 +209,14 @@ def estimate_pose_batched(
     batch_size: int = 32,
     lm_iters: int = 20,
     detector_params=None,
+    mesh=None,
     verbose: bool = True,
 ) -> dict:
     """Run the hybrid perception pipeline over all images.
 
+    ``mesh``: optional ``jax.sharding.Mesh`` — the batch axis of the device
+    program is sharded across its first axis (data parallelism over images,
+    SURVEY.md §2.3; the reference fans out a multiprocessing pool instead).
     Returns the reference edge dict (cam.py:120-124 schema).
     """
     import jax.numpy as jnp
@@ -258,10 +262,19 @@ def estimate_pose_batched(
             ("hybrid", H, W, B, Q, n_bits, params, lm_iters, float(marker_size)),
             lambda: _build_hybrid(B, Q, n_bits, params, lm_iters, float(marker_size)),
         )
-        corners, ids, ok, R, t, err = run(
-            jnp.asarray(gray), jnp.asarray(quads), jnp.asarray(valid),
-            jnp.asarray(areas), jnp.asarray(Ks), jnp.asarray(dists), table,
-        )
+        dev_args = [gray, quads, valid, areas, Ks, dists]
+        if mesh is not None:
+            import jax
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            axis = mesh.axis_names[0]
+            dev_args = [
+                jax.device_put(a, NamedSharding(mesh, P(axis, *([None] * (np.ndim(a) - 1)))))
+                for a in dev_args
+            ]
+        else:
+            dev_args = [jnp.asarray(a) for a in dev_args]
+        corners, ids, ok, R, t, err = run(*dev_args, table)
         corners = np.asarray(corners)
         ids = np.asarray(ids)
         ok = np.asarray(ok)
