@@ -8,7 +8,7 @@ import jax
 import jax.numpy as jnp
 
 from vican_tpu.ops import detect
-from vican_tpu.ops.dictionary import get_dictionary, marker_bits_table
+from vican_tpu.ops.dictionary import marker_bits_table
 
 DICT = "DICT_4X4_1000"
 

@@ -2,7 +2,6 @@
 import numpy as np
 import jax
 import jax.numpy as jnp
-import pytest
 
 from vican_tpu import geometry as G
 from vican_tpu.ops import lie

@@ -20,7 +20,7 @@ import os
 
 import numpy as np
 
-from .geometry import SE3, rodrigues
+from .geometry import SE3
 
 __all__ = ["make_cube_markers", "render_image", "render_dataset", "look_at"]
 

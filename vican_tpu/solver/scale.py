@@ -59,7 +59,6 @@ def sort_edges_by_time(KR, k_r, cam_idx, time_idx, T: int, chunk_t: int):
     )
     counts = np.bincount(chunk_of, minlength=n_chunks)
     cap = int(counts.max()) if len(counts) else 1
-    E_out = n_chunks * cap
 
     KR_s = np.zeros((n_chunks, cap, 3, 3), KR.dtype)
     k_s = np.zeros((n_chunks, cap), k_r.dtype)
