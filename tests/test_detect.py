@@ -171,3 +171,53 @@ class TestDetectMarkers:
         v = np.asarray(out.valid)
         found = {int(i) for i, ok in zip(out.ids, v) if ok}
         assert 5 in found
+
+
+class TestRecallVsOpenCV:
+    def test_beats_cv_on_rendered_scene(self, table, cv_dict, tmp_path):
+        """On oblique cube scenes the Otsu-majority decode must at least match
+        OpenCV's detector recall with zero false ids (strict 0-bit matching)."""
+        from vican_tpu.cam import Camera, estimate_pose_mp
+        from vican_tpu.dataset import Dataset
+        from vican_tpu.geometry import SE3, rodrigues
+        from vican_tpu.render import look_at, make_cube_markers, render_dataset
+
+        rng = np.random.default_rng(9)
+        K = np.array([[420.0, 0, 320], [0, 420.0, 180], [0, 0, 1]])
+        cams = {"0": Camera(id="0", intrinsics=K, distortion=np.zeros(12),
+                            extrinsics=look_at((2.2, 0.3, 1.2), (0, 0, 1.0)),
+                            resolution_x=640, resolution_y=360)}
+        traj = {}
+        for t in range(6):
+            v = rng.normal(size=3)
+            v = v / np.linalg.norm(v) * rng.uniform(0, np.pi)
+            traj[str(t)] = SE3(R=rodrigues(v), t=np.array([0.0, 0.0, 1.0]))
+        root = str(tmp_path / "scene")
+        render_dataset(root, cams, traj, make_cube_markers(), marker_size=0.138)
+        ds = Dataset(root)
+
+        edges = estimate_pose_mp(
+            im_filenames=ds.im_data["filename"], cams=ds.im_data["cam"],
+            aruco=DICT, marker_size=0.138, corner_refine="CORNER_REFINE_APRILTAG",
+            marker_ids=None, flags="SOLVEPNP_IPPE_SQUARE", brightness=0,
+            contrast=0, batch_size=6, verbose=False,
+        )
+        ours_by_img = {}
+        for (c, tm), v in edges.items():
+            ours_by_img.setdefault(v["im_filename"], set()).add(int(tm.split("_")[1]))
+
+        params_cv = cv.aruco.DetectorParameters()
+        params_cv.cornerRefinementMethod = cv.aruco.CORNER_REFINE_APRILTAG
+        det_cv = cv.aruco.ArucoDetector(cv_dict, params_cv)
+        n_cv = n_ours = n_false = 0
+        for fn in ds.im_data["filename"]:
+            img = cv.imread(fn)
+            _, ids, _ = det_cv.detectMarkers(img)
+            cvids = set() if ids is None else {i for i in ids.ravel().tolist() if 0 <= i < 24}
+            raw = ours_by_img.get(fn, set())
+            inr = {i for i in raw if 0 <= i < 24}
+            n_false += len(raw - inr)
+            n_cv += len(cvids)
+            n_ours += len(inr)
+        assert n_false == 0
+        assert n_ours >= n_cv, (n_ours, n_cv)

@@ -75,7 +75,7 @@ class DetectorParams(NamedTuple):
     corner_refine: str = "apriltag"
     max_border_err_rate: float = 0.35  # erroneous border bits tolerated
     error_correction_bits: int = 0  # Hamming budget for id matching
-    decode_samples: int = 3  # NxN samples per bit cell
+    decode_samples: int = 5  # NxN samples per bit cell
     use_pallas_threshold: bool = False  # fused single-pass TPU threshold kernel
 
 
@@ -352,6 +352,26 @@ def refine_corners(gray, quad, params: DetectorParams):
     return jnp.where((dist < 4.0)[:, None], refined, quad)
 
 
+def _otsu(values, bins: int = 64):
+    """Otsu's threshold of a 1-D intensity sample (fixed-bin histogram)."""
+    lo = values.min()
+    hi = values.max()
+    span = jnp.maximum(hi - lo, 1e-6)
+    idx = jnp.clip(((values - lo) / span * bins).astype(jnp.int32), 0, bins - 1)
+    hist = jnp.zeros((bins,), jnp.float32).at[idx].add(1.0)
+    centers = lo + (jnp.arange(bins, dtype=jnp.float32) + 0.5) * (span / bins)
+    w0 = jnp.cumsum(hist)
+    total = w0[-1]
+    s0 = jnp.cumsum(hist * centers)
+    stotal = s0[-1]
+    w1 = total - w0
+    mu0 = s0 / jnp.maximum(w0, 1e-6)
+    mu1 = (stotal - s0) / jnp.maximum(w1, 1e-6)
+    var_between = w0 * w1 * (mu0 - mu1) ** 2
+    k = jnp.argmax(var_between)
+    return lo + (k.astype(jnp.float32) + 1.0) * (span / bins)
+
+
 def _quad_homography(quad, n_cells: int):
     """Homography mapping marker-cell coords (u, v) in [0, n_cells] to image.
 
@@ -382,7 +402,7 @@ def decode_quads(gray, quads, valid, table, n_bits: int, params: DetectorParams)
     def one(quad, is_valid):
         Hm = _quad_homography(quad, cells)
 
-        def cell_mean(r, c):
+        def cell_samples(r, c):
             u = c + lin[None, :]
             v = r + lin[:, None]
             ones = jnp.ones_like(u * v)
@@ -390,13 +410,20 @@ def decode_quads(gray, quads, valid, table, n_bits: int, params: DetectorParams)
             p = jnp.einsum("ij,stj->sti", Hm, uv1)
             x = p[..., 0] / p[..., 2]
             y = p[..., 1] / p[..., 2]
-            return jnp.mean(_bilinear(gray, x, y))
+            return _bilinear(gray, x, y)  # (S,S)
 
         rr, cc = jnp.mgrid[0:cells, 0:cells]
-        means = jax.vmap(jax.vmap(cell_mean))(rr.astype(jnp.float32), cc.astype(jnp.float32))
+        samples = jax.vmap(jax.vmap(cell_samples))(
+            rr.astype(jnp.float32), cc.astype(jnp.float32)
+        )  # (cells, cells, S, S)
+        means = samples.mean(axis=(2, 3))
 
-        tau = 0.5 * (means.min() + means.max())
-        bits = (means > tau).astype(jnp.uint8)
+        # Otsu threshold over all sampled intensities + per-cell majority —
+        # OpenCV's extraction scheme; far more robust on oblique/blurred
+        # quads than a midrange threshold of cell means (recall parity with
+        # cv2 on the rendered test scenes came from exactly this change).
+        tau = _otsu(samples.reshape(-1))
+        bits = (jnp.mean(samples > tau, axis=(2, 3)) > 0.5).astype(jnp.uint8)
 
         border_mask = jnp.zeros((cells, cells), bool).at[0, :].set(True)
         border_mask = border_mask.at[-1, :].set(True).at[:, 0].set(True).at[:, -1].set(True)
