@@ -236,7 +236,9 @@ def estimate_pose_batched(
     out: dict = {}
     B = batch_size
     total_det = 0
-    for start in range(0, len(im_filenames), B):
+
+    def prepare(start):
+        """Host stage: decode, preprocess, candidate extraction."""
         batch_files = im_filenames[start : start + B]
         batch_cams = cams[start : start + B]
         images = load_images(batch_files)
@@ -244,12 +246,8 @@ def estimate_pose_batched(
         if nb < B:  # pad the tail batch
             images = np.concatenate([images, np.repeat(images[-1:], B - nb, axis=0)])
             batch_cams = batch_cams + [batch_cams[-1]] * (B - nb)
-        H, W = images.shape[1:3]
-
         gray = host_preprocess(images, float(brightness), float(contrast))
         quads, valid, areas = host_candidates(gray, params)
-        Q = quads.shape[1]
-
         Ks = np.stack([np.asarray(c.intrinsics, np.float32) for c in batch_cams])
         dists = np.stack(
             [
@@ -257,7 +255,13 @@ def estimate_pose_batched(
                 for c in batch_cams
             ]
         )
+        return batch_files, batch_cams, nb, gray, quads, valid, areas, Ks, dists
 
+    def dispatch(prep):
+        """Device stage: returns unfetched device arrays (async)."""
+        batch_files, batch_cams, nb, gray, quads, valid, areas, Ks, dists = prep
+        H, W = gray.shape[1:3]
+        Q = quads.shape[1]
         run = _get_pipeline(
             ("hybrid", H, W, B, Q, n_bits, params, lm_iters, float(marker_size)),
             lambda: _build_hybrid(B, Q, n_bits, params, lm_iters, float(marker_size)),
@@ -274,14 +278,19 @@ def estimate_pose_batched(
             ]
         else:
             dev_args = [jnp.asarray(a) for a in dev_args]
-        corners, ids, ok, R, t, err = run(*dev_args, table)
+        return (batch_files, batch_cams, nb, run(*dev_args, table))
+
+    def consume(handle, batch_index):
+        """Fetch + unpack one batch's results into the edge dict."""
+        nonlocal total_det
+        batch_files, batch_cams, nb, result = handle
+        corners, ids, ok, R, t, err = result
         corners = np.asarray(corners)
         ids = np.asarray(ids)
         ok = np.asarray(ok)
         R = np.asarray(R, np.float64)
         t = np.asarray(t, np.float64)
         err = np.asarray(err)
-
         Dcap = params.max_detections
         for j in range(nb):
             fn = batch_files[j]
@@ -299,7 +308,19 @@ def estimate_pose_batched(
                 }
                 total_det += 1
         if verbose:
-            print(f"  batch {start // B}: {nb} images, {int(ok[: nb * Dcap].sum())} detections")
+            print(f"  batch {batch_index}: {nb} images, {int(ok[: nb * Dcap].sum())} detections")
+
+    # Software pipeline: while the device chews on batch N, the host decodes
+    # and extracts candidates for batch N+1 (dispatch is async; the fetch in
+    # consume() is the only sync point).
+    pending = None
+    for bi, start in enumerate(range(0, len(im_filenames), B)):
+        handle = dispatch(prepare(start))
+        if pending is not None:
+            consume(*pending)
+        pending = (handle, bi)
+    if pending is not None:
+        consume(*pending)
     if verbose:
         n_images = len({v["im_filename"] for v in out.values()})
         print(f"Found markers in {n_images} images ({total_det} detections).")
