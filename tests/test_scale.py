@@ -56,3 +56,29 @@ def test_chunking_roundtrip(problem):
     assert np.isclose(np.abs(KR_s).sum(), np.abs(KR).sum(), rtol=1e-12)
     # every edge's global time = chunk * 64 + tloc, within range
     assert tloc_s.max() < 64
+
+
+def test_sharded_large_matches_single(problem):
+    """shard_map chunk-stream path == single-device large path (8 CPU devs)."""
+    from vican_tpu.parallel import make_mesh
+    from vican_tpu.solver.scale import so3_sync_large_sharded
+
+    prob, p = problem
+    C, T = p.num_cams, p.num_times
+    KR = np.asarray(core.fold_constraints(
+        jnp.asarray(p.R_e), jnp.asarray(p.k_r), jnp.asarray(p.marker_idx),
+        jnp.asarray(p.R_con), p.root_idx,
+    ))
+    chunked = sort_edges_by_time(KR, p.k_r, p.cam_idx, p.time_idx, T, 32)
+    single = so3_sync_large(
+        *[jnp.asarray(x) for x in chunked], C=C, T=T, chunk_t=32,
+        maxiter=jnp.asarray(4, jnp.int32),
+    )
+    mesh = make_mesh()
+    sharded = so3_sync_large_sharded(
+        *chunked, C=C, T=T, chunk_t=32, maxiter=4, mesh=mesh,
+    )
+    d_cam = np.asarray(distance_so3(single.r_cam, sharded.r_cam))
+    assert d_cam.max() < 1e-4, d_cam.max()
+    d_time = np.asarray(distance_so3(single.r_time, sharded.r_time))
+    assert d_time.max() < 1e-4, d_time.max()

@@ -35,7 +35,7 @@ from jax import lax
 from ..ops.lie import project_so3, svd3_so3
 from .core import HIGHEST, SyncResult
 
-__all__ = ["sort_edges_by_time", "so3_sync_large"]
+__all__ = ["sort_edges_by_time", "so3_sync_large", "so3_sync_large_sharded"]
 
 
 def sort_edges_by_time(KR, k_r, cam_idx, time_idx, T: int, chunk_t: int):
@@ -282,4 +282,176 @@ def so3_sync_large(
         evals=evals5,
         eigengap=eigengap,
         num_iters=it,
+    )
+
+
+def so3_sync_large_sharded(
+    KR_s,
+    k_s,
+    cam_s,
+    tloc_s,
+    *,
+    C: int,
+    T: int,
+    chunk_t: int,
+    maxiter: int,
+    mesh,
+    cert_tol=1e-6,
+    cheb_degree: int = 60,
+    cheb_rounds: int = 2,
+    subspace: int = 10,
+) -> SyncResult:
+    """Multi-chip large-graph SO(3) sync: the chunk stream sharded over the
+    mesh's first axis.
+
+    Each device loops over its local time chunks, accumulating a partial
+    (3C, 3C) power graph; ``psum`` over ICI combines the partials.  The
+    camera-block state (Laplacian, CheFSI eigensolve, duals) is replicated —
+    it is tiny by the power-graph construction.  Time-node state (Lambda_T,
+    r_t, per-time SVDs) stays sharded with its chunks.  This is SURVEY.md
+    §5's "sequence parallelism" made concrete.
+    """
+    import numpy as _np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    n_chunks = KR_s.shape[0]
+    pad_chunks = (-n_chunks) % n_dev
+    if pad_chunks:
+        padz = lambda a: _np.concatenate(
+            [_np.asarray(a), _np.zeros((pad_chunks,) + a.shape[1:], _np.asarray(a).dtype)]
+        )
+        KR_s, k_s, cam_s, tloc_s = map(padz, (KR_s, k_s, cam_s, tloc_s))
+        n_chunks += pad_chunks
+    dtype = _np.asarray(KR_s).dtype
+    T_pad = n_chunks * chunk_t
+
+    def body_fn(KR_l, k_l, cam_l, tloc_l):
+        """Per-device: local chunks (nc_local, cap, ...)."""
+        nc_local = k_l.shape[0]
+        three_c = 3 * C
+        three_t = 3 * chunk_t
+        a3 = jnp.arange(3, dtype=jnp.int32)
+
+        deg_t_l = jax.vmap(lambda t, k: jnp.zeros((chunk_t,), dtype).at[t].add(k))(
+            tloc_l, k_l
+        )
+        deg_c = jax.lax.psum(
+            jnp.zeros((C,), dtype).at[cam_l.reshape(-1)].add(k_l.reshape(-1)), axis
+        )
+
+        def chunk_block(c):
+            rows = 3 * cam_l[c][:, None, None] + a3[None, :, None]
+            cols = 3 * tloc_l[c][:, None, None] + a3[None, None, :]
+            return jnp.zeros((three_c, three_t), dtype).at[rows, cols].add(KR_l[c])
+
+        def chunk_lbd(lbd_t_l, c):
+            lc = lax.dynamic_slice(lbd_t_l, (c * chunk_t, 0, 0), (chunk_t, 3, 3))
+            tt = jnp.arange(chunk_t, dtype=jnp.int32)
+            rows = 3 * tt[:, None, None] + a3[None, :, None]
+            cols = 3 * tt[:, None, None] + a3[None, None, :]
+            return jnp.zeros((three_t, three_t), dtype).at[rows, cols].add(lc)
+
+        def power_graph(lbd_t_l):
+            def body(c, acc):
+                B = chunk_block(c)
+                Y = jnp.matmul(B, chunk_lbd(lbd_t_l, c), precision=HIGHEST)
+                return acc + jnp.matmul(Y, B.T, precision=HIGHEST)
+
+            local = lax.fori_loop(0, nc_local, body, jnp.zeros((three_c, three_c), dtype))
+            return jax.lax.psum(local, axis)
+
+        def time_products(r_c):
+            r_flat = r_c.reshape(three_c, 3)
+
+            def body(c, acc):
+                B = chunk_block(c)
+                rt = jnp.matmul(B.T, r_flat, precision=HIGHEST)
+                return lax.dynamic_update_slice(
+                    acc, rt.reshape(chunk_t, 3, 3), (c * chunk_t, 0, 0)
+                )
+
+            return lax.fori_loop(
+                0, nc_local, body, jnp.zeros((nc_local * chunk_t, 3, 3), dtype)
+            )
+
+        eye3 = jnp.eye(3, dtype=dtype)
+        lbd_t0 = eye3 / jnp.maximum(deg_t_l.reshape(-1), 1e-30)[:, None, None]
+        lbd_c0 = deg_c[:, None, None] * eye3
+
+        def cond(state):
+            it, max_eval, *_ = state
+            return (it < maxiter) & (max_eval > cert_tol)
+
+        def body(state):
+            it, _, lbd_c, lbd_t_l, _, _, _, _, X = state
+            pwr = power_graph(lbd_t_l)
+            cc2 = jnp.arange(C, dtype=jnp.int32)
+            rows = 3 * cc2[:, None, None] + a3[None, :, None]
+            cols = 3 * cc2[:, None, None] + a3[None, None, :]
+            L = (-pwr).at[rows, cols].add(lbd_c)
+            L = 0.5 * (L + L.T)
+
+            scale = jnp.maximum(jnp.max(jnp.abs(jnp.diagonal(L))), 1e-30)
+            evals5, V5, X_next = _chefsi_bottom(L / scale, X, 5, cheb_degree, cheb_rounds)
+            evals5 = evals5 * scale
+            eigengap = jnp.abs(evals5[3] / evals5[2])
+            max_eval = jnp.max(jnp.abs(evals5))
+
+            V3 = V5[:, :3]
+            r = jnp.matmul(V3, jnp.linalg.inv(V3[:3, :3]), precision=HIGHEST)
+            r_blocks = project_so3(r.reshape(C, 3, 3))
+
+            rtr = jnp.matmul(pwr, r_blocks.reshape(3 * C, 3), precision=HIGHEST).reshape(C, 3, 3)
+            r_c, u, sv, _ = svd3_so3(rtr)
+            lbd_c_new = jnp.einsum("cab,cb,cdb->cad", u, sv, u, precision=HIGHEST)
+
+            rt_raw = time_products(r_c)
+            r_t_l, ut, st, _ = svd3_so3(rt_raw)
+            st_inv = jnp.where(st > 1e-9 * st[..., :1], 1.0 / jnp.maximum(st, 1e-30), 0.0)
+            lbd_t_new = jnp.einsum("tab,tb,tdb->tad", ut, st_inv, ut, precision=HIGHEST)
+
+            return (it + 1, max_eval, lbd_c_new, lbd_t_new, r_c, r_t_l, evals5, eigengap, X_next)
+
+        n = 3 * C
+        ii = jnp.arange(n, dtype=dtype)[:, None]
+        jj = jnp.arange(subspace, dtype=dtype)[None, :]
+        X0 = jnp.cos(ii * (jj + 1.0) * 0.37 + jj)
+        X0, _ = jnp.linalg.qr(X0)
+
+        init = (
+            jnp.zeros((), jnp.int32),
+            jnp.asarray(1.0, dtype),
+            lbd_c0,
+            lbd_t0,
+            jnp.broadcast_to(eye3, (C, 3, 3)),
+            jnp.broadcast_to(eye3, (nc_local * chunk_t, 3, 3)),
+            jnp.zeros((5,), dtype),
+            jnp.asarray(0.0, dtype),
+            X0,
+        )
+        it, _, _, _, r_c, r_t_l, evals5, eigengap = lax.while_loop(cond, body, init)[:8]
+        return (
+            jnp.swapaxes(r_c, -1, -2),
+            jnp.swapaxes(r_t_l, -1, -2),
+            evals5,
+            eigengap,
+            it,
+        )
+
+    sharded = shard_map(
+        body_fn,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis)),
+        out_specs=(P(), P(axis), P(), P(), P()),
+        check_rep=False,
+    )
+    with jax.default_matmul_precision("highest"):
+        r_cam, r_time, evals5, eigengap, it = jax.jit(sharded)(
+            jnp.asarray(KR_s), jnp.asarray(k_s), jnp.asarray(cam_s), jnp.asarray(tloc_s)
+        )
+    return SyncResult(
+        r_cam=r_cam, r_time=r_time[:T], evals=evals5, eigengap=eigengap, num_iters=it
     )
