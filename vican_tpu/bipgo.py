@@ -60,8 +60,11 @@ def _solver_dtype(dtype):
 def _device_arrays(packed: PackedProblem, dtype):
     import jax.numpy as jnp
 
+    # quaternion transfer when available: 4 floats/edge instead of 9 over
+    # the bandwidth-bound host link; reconstructed on device
+    rot = packed.q_e if packed.q_e is not None else packed.R_e
     return dict(
-        R_e=jnp.asarray(packed.R_e, dtype),
+        R_e=jnp.asarray(rot, dtype),
         t_e=jnp.asarray(packed.t_e, dtype),
         k_r=jnp.asarray(packed.k_r, dtype),
         k_t=jnp.asarray(packed.k_t, dtype),

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 
 __all__ = [
     "rodrigues",
+    "quat_to_mat",
     "so3_log",
     "hat",
     "project_so3",
@@ -67,6 +68,25 @@ def rodrigues(vec: jnp.ndarray) -> jnp.ndarray:
     K = hat(vec)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=vec.dtype), K.shape)
     return eye + a[..., None, None] * K + b[..., None, None] * (K @ K)
+
+
+def quat_to_mat(q: jnp.ndarray) -> jnp.ndarray:
+    """Unit quaternions ``(..., 4)`` (w, x, y, z) -> rotations ``(..., 3, 3)``.
+
+    Used by the solver's transfer path: rotations ship to the device as 4
+    floats instead of 9 (the host link is bandwidth-bound), reconstructed
+    exactly on device.
+    """
+    q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    return jnp.stack(
+        [
+            jnp.stack([1 - 2 * (y * y + z * z), 2 * (x * y - z * w), 2 * (x * z + y * w)], -1),
+            jnp.stack([2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w)], -1),
+            jnp.stack([2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y)], -1),
+        ],
+        axis=-2,
+    )
 
 
 def so3_log(R: jnp.ndarray) -> jnp.ndarray:

@@ -42,7 +42,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..ops.lie import svd3_so3, project_so3
+from ..ops.lie import quat_to_mat, svd3_so3, project_so3
 
 # TPU matmuls default to bf16-accumulation passes (~2.6e-3 relative error);
 # the solver's graph products and eigensolve need true f32 throughout.
@@ -74,8 +74,11 @@ def fold_constraints(R_e, k_r, marker_idx, R_con, root_idx):
 
     ``kr_c0 = k_r * R_edge @ R_m^T @ R_0`` — the (c,t) aggregation the
     reference performs in its dict loop (bipgo.py:215-221) happens later in
-    the scatter-add building the block tensor.
+    the scatter-add building the block tensor.  ``R_e`` may arrive as (E, 4)
+    quaternions (compact transfer — the host link is bandwidth-bound).
     """
+    if R_e.ndim == 2:
+        R_e = quat_to_mat(R_e)
     R0 = R_con[root_idx]
     Rm = R_con[marker_idx]  # (E,3,3)
     return k_r[:, None, None] * jnp.einsum(

@@ -19,6 +19,35 @@ import numpy as np
 __all__ = ["PackedProblem", "pack_problem", "pack_constraints"]
 
 
+def _mat_to_quat(R: np.ndarray) -> np.ndarray:
+    """Vectorized rotation-matrix -> quaternion (w, x, y, z), Shepperd's
+    branch selection done with np.where for full batches."""
+    m00, m01, m02 = R[:, 0, 0], R[:, 0, 1], R[:, 0, 2]
+    m10, m11, m12 = R[:, 1, 0], R[:, 1, 1], R[:, 1, 2]
+    m20, m21, m22 = R[:, 2, 0], R[:, 2, 1], R[:, 2, 2]
+    tr = m00 + m11 + m22
+    q = np.empty((len(R), 4), np.float64)
+
+    # case 0: trace dominant
+    s0 = np.sqrt(np.maximum(tr + 1.0, 1e-12)) * 2.0
+    c0 = np.stack([0.25 * s0, (m21 - m12) / s0, (m02 - m20) / s0, (m10 - m01) / s0], 1)
+    # case 1: m00 dominant
+    s1 = np.sqrt(np.maximum(1.0 + m00 - m11 - m22, 1e-12)) * 2.0
+    c1 = np.stack([(m21 - m12) / s1, 0.25 * s1, (m01 + m10) / s1, (m02 + m20) / s1], 1)
+    # case 2: m11 dominant
+    s2 = np.sqrt(np.maximum(1.0 + m11 - m00 - m22, 1e-12)) * 2.0
+    c2 = np.stack([(m02 - m20) / s2, (m01 + m10) / s2, 0.25 * s2, (m12 + m21) / s2], 1)
+    # case 3: m22 dominant
+    s3 = np.sqrt(np.maximum(1.0 + m22 - m00 - m11, 1e-12)) * 2.0
+    c3 = np.stack([(m10 - m01) / s3, (m02 + m20) / s3, (m12 + m21) / s3, 0.25 * s3], 1)
+
+    use0 = (tr > 0)[:, None]
+    use1 = ((m00 >= m11) & (m00 >= m22))[:, None] & ~use0
+    use2 = (m11 >= m22)[:, None] & ~use0 & ~use1
+    q = np.where(use0, c0, np.where(use1, c1, np.where(use2, c2, c3)))
+    return q / np.linalg.norm(q, axis=1, keepdims=True)
+
+
 def _warn_unconstrained(n: int):
     import warnings
 
@@ -59,6 +88,9 @@ class PackedProblem:
     R_con: np.ndarray
     t_con: np.ndarray
     root_idx: int
+    # optional compact rotation transfer (E, 4) wxyz; set when the edge
+    # rotations verify as orthonormal (PnP outputs always do)
+    q_e: np.ndarray | None = None
 
     @property
     def num_cams(self) -> int:
@@ -231,7 +263,17 @@ def pack_problem(
             if m > 0:
                 arr /= m
 
+    # Compact rotation transfer: the host->device link is bandwidth-bound,
+    # so orthonormal edge rotations ship as quaternions (4 floats vs 9).
+    q_e = None
+    sample = R_e[:: max(len(R_e) // 512, 1)]
+    ortho = np.abs(np.einsum("eij,ekj->eik", sample, sample) - np.eye(3)).max()
+    proper = np.linalg.det(sample).min() > 0.5  # reflections are not rotations
+    if ortho < 1e-3 and proper:
+        q_e = _mat_to_quat(R_e).astype(dtype)
+
     return PackedProblem(
+        q_e=q_e,
         cam_ids=cam_ids,
         time_ids=time_ids,
         marker_ids=marker_ids,
