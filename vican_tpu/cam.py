@@ -93,6 +93,8 @@ def estimate_pose_worker(
         contrast=contrast,
         flags=flags,
         marker_ids=None,
+        batch_size=1,
+        verbose=False,
     )
     return out if out else None
 
