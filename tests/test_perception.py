@@ -115,3 +115,40 @@ class TestEndToEnd:
             t_err.append(np.linalg.norm(gt.t() - est.t()))
         assert np.mean(r_err) < 1.5, r_err
         assert np.mean(t_err) < 0.05, t_err
+
+    def test_estimate_pose_worker_single_image(self, rendered):
+        """Reference API: per-image worker returns a dict or None (cam.py:83-186)."""
+        from vican_tpu.cam import estimate_pose_worker
+
+        root, markers = rendered
+        ds = Dataset(root)
+        out = estimate_pose_worker(
+            ds.im_data["filename"][0], ds.im_data["cam"][0],
+            aruco="DICT_4X4_1000", marker_size=MARKER_SIZE,
+            corner_refine="CORNER_REFINE_APRILTAG", flags="SOLVEPNP_IPPE_SQUARE",
+            brightness=0, contrast=0,
+        )
+        assert out is not None and len(out) > 0
+        key = next(iter(out))
+        assert key[0] == ds.im_data["cam_id"][0]
+        assert set(out[key]) == {"pose", "corners", "reprojected_err", "im_filename"}
+
+    def test_estimate_pose_worker_blank_image(self, tmp_path):
+        import cv2 as cv2_
+
+        from vican_tpu.cam import Camera, estimate_pose_worker
+        from vican_tpu.geometry import SE3
+
+        fn = str(tmp_path / "blank" / "c.jpg")
+        import os
+
+        os.makedirs(os.path.dirname(fn))
+        cv2_.imwrite(fn, np.full((144, 256, 3), 150, np.uint8))
+        cam = Camera(id="c", intrinsics=np.eye(3) * 100, distortion=np.zeros(12),
+                     extrinsics=SE3(pose=np.eye(4)), resolution_x=256, resolution_y=144)
+        out = estimate_pose_worker(
+            fn, cam, aruco="DICT_4X4_1000", marker_size=0.1,
+            corner_refine="CORNER_REFINE_APRILTAG", flags="SOLVEPNP_IPPE_SQUARE",
+            brightness=0, contrast=0,
+        )
+        assert out is None  # reference semantics: no detections -> None
