@@ -82,3 +82,41 @@ def test_sharded_large_matches_single(problem):
     assert d_cam.max() < 1e-4, d_cam.max()
     d_time = np.asarray(distance_so3(single.r_time, sharded.r_time))
     assert d_time.max() < 1e-4, d_time.max()
+
+
+def test_large_path_with_gappy_timesteps():
+    """A filtered-out band of timesteps (empty chunks, possibly isolated
+    cameras) flows through the packing connectivity guard and both solver
+    paths agree."""
+    import warnings
+
+    prob = make_problem_arrays(
+        seed=17, n_cams=20, n_times=200, n_markers=6, n_edges=1500,
+        kappa_r=1e5, sigma_t=1e-4,
+    )
+    gap = lambda e: not (50 <= int(e["im_filename"].split("/")[0]) < 120)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")  # disconnected-graph warning expected
+        packed = pack_problem(
+            prob.edges, prob.constraints(), lambda e: 1.0, lambda e: 1.0, gap,
+            dtype=np.float64,
+        )
+    C, T = packed.num_cams, packed.num_times
+    KR = core.fold_constraints(
+        jnp.asarray(packed.R_e), jnp.asarray(packed.k_r), jnp.asarray(packed.marker_idx),
+        jnp.asarray(packed.R_con), packed.root_idx,
+    )
+    dense = core.so3_sync(
+        KR, jnp.asarray(packed.k_r), jnp.asarray(packed.cam_idx),
+        jnp.asarray(packed.time_idx), C=C, T=T, maxiter=jnp.asarray(4, jnp.int32),
+    )
+    assert np.isfinite(np.asarray(dense.r_cam)).all()
+    chunked = sort_edges_by_time(np.asarray(KR), packed.k_r, packed.cam_idx,
+                                 packed.time_idx, T, 16)
+    large = so3_sync_large(
+        *[jnp.asarray(x) for x in chunked], C=C, T=T, chunk_t=16,
+        maxiter=jnp.asarray(4, jnp.int32),
+    )
+    assert np.isfinite(np.asarray(large.r_cam)).all()
+    d = np.asarray(distance_so3(dense.r_cam, large.r_cam))
+    assert d.max() < 0.06, d.max()
