@@ -24,7 +24,11 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 
 # Persistent XLA compilation cache: the fused solver program compiles in
 # minutes through the remote-compile tunnel; cache it across bench runs.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(REPO, ".jax_cache"))
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 sys.path.insert(0, REPO)
 CACHE_PATH = os.path.join(REPO, "benchmarks", "baseline_cache.json")
 REFERENCE = "/root/reference"
