@@ -17,6 +17,7 @@ one fused jitted program on the accelerator; see
 """
 from __future__ import annotations
 
+import os
 import warnings
 from typing import Callable
 
@@ -111,24 +112,30 @@ def large_bipartite_so3sync(
             packed.num_cams, packed.num_times, packed.num_edges
         )
     )
-    arrs = _device_arrays(packed, dtype)
-    with tm.phase("Optimizing") as ev:
-        with jax.default_matmul_precision("highest"):
-            KR = _core.fold_constraints(
-                arrs["R_e"], arrs["k_r"], arrs["marker_idx"], arrs["R_con"], packed.root_idx
+    block_bytes = packed.num_cams * packed.num_times * 9 * np.dtype(dtype).itemsize
+    if block_bytes > _block_budget_bytes():
+        result = _so3_sync_large_from_packed(packed, dtype, maxiter, tm, verbose)
+    else:
+        arrs = _device_arrays(packed, dtype)
+        with tm.phase("Optimizing") as ev:
+            with jax.default_matmul_precision("highest"):
+                KR = _core.fold_constraints(
+                    arrs["R_e"], arrs["k_r"], arrs["marker_idx"], arrs["R_con"],
+                    packed.root_idx,
+                )
+                result = _core.so3_sync(
+                    KR, arrs["k_r"], arrs["cam_idx"], arrs["time_idx"],
+                    C=packed.num_cams, T=packed.num_times,
+                    maxiter=jnp.asarray(maxiter, jnp.int32),
+                    cert_tol=1e-6 / packed.k_r_scale,
+                )
+            ev["sync"] = result
+        if verbose:
+            tm.log(
+                "Iterations: {}  evals: {}  eigengap: {:1.3e}".format(
+                    int(result.num_iters), np.asarray(result.evals), float(result.eigengap)
+                )
             )
-            result = _core.so3_sync(
-                KR, arrs["k_r"], arrs["cam_idx"], arrs["time_idx"],
-                C=packed.num_cams, T=packed.num_times,
-                maxiter=jnp.asarray(maxiter, jnp.int32),
-            )
-        ev["sync"] = result
-    if verbose:
-        tm.log(
-            "Iterations: {}  evals: {}  eigengap: {:1.3e}".format(
-                int(result.num_iters), np.asarray(result.evals), float(result.eigengap)
-            )
-        )
 
     r_cam = np.asarray(result.r_cam)
     r_time = np.asarray(result.r_time)
@@ -140,10 +147,147 @@ def large_bipartite_so3sync(
     return out
 
 
-# The reference's non-power-graph variant (bipgo.py:18-142) is unused dead
-# code with an inconsistent folding convention; we expose the name for API
-# compatibility, backed by the canonical algorithm.
-bipartite_so3sync = large_bipartite_so3sync
+def bipartite_so3sync(*args, **kwargs):
+    """Alias of :func:`large_bipartite_so3sync` — NOT the reference's
+    small-graph variant.
+
+    The reference's ``bipartite_so3sync`` (bipgo.py:18-142) is dead code with
+    a conflicting constraint convention: it folds ``R_e @ R_m @ R_0^T`` and
+    returns *untransposed* rotation blocks, whereas the live power-graph
+    algorithm (which this alias runs) folds ``R_e @ R_m^T @ R_0`` and returns
+    world-frame (transposed) rotations (bipgo.py:343-350).  Callers porting
+    code that used the reference's small-graph entry point get the canonical
+    convention here; a warning marks the difference.
+    """
+    warnings.warn(
+        "bipartite_so3sync is an alias of large_bipartite_so3sync: outputs "
+        "are world-frame (transposed) rotations using the live folding "
+        "convention R_e@R_m^T@R_0, not the reference dead-code variant's "
+        "R_e@R_m@R_0^T untransposed blocks",
+        stacklevel=2,
+    )
+    return large_bipartite_so3sync(*args, **kwargs)
+
+
+def _block_budget_bytes() -> int:
+    """Memory budget for the dense (C, 3, T, 3) block tensor.
+
+    Past this the dict API transparently reroutes to the chunked large-graph
+    path (solver/scale.py) — the reference handles any size via scipy sparse
+    (bipgo.py:353-490), so the public API must too.  Overridable via
+    ``VICAN_TPU_BLOCK_BUDGET_BYTES`` (read per call so tests can steer it).
+    """
+    return int(os.environ.get("VICAN_TPU_BLOCK_BUDGET_BYTES", 2 << 30))
+
+
+def _so3_sync_large_from_packed(
+    packed: PackedProblem, dtype, maxiter, tm, verbose, mesh=None
+):
+    """Rotation stage of the large-graph route: fold on host, chunk, solve.
+
+    Folding runs on the host: the (E,3,3) matmuls are trivial next to
+    shipping E folded blocks over the host link twice (fold on device would
+    round-trip KR back for the chunk sort).  Returns a
+    :class:`~vican_tpu.solver.core.SyncResult`.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .solver import scale as _scale
+
+    C, T = packed.num_cams, packed.num_times
+    chunk_t = int(os.environ.get("VICAN_TPU_SCALE_CHUNK_T", 64))
+    cert_tol = 1e-6 / packed.k_r_scale
+
+    with tm.phase("Folding constraints (host, chunked)"):
+        R0 = packed.R_con[packed.root_idx]
+        Rm = packed.R_con[packed.marker_idx]
+        KR = packed.k_r[:, None, None] * np.matmul(
+            packed.R_e, np.matmul(Rm.transpose(0, 2, 1), R0)
+        )
+        chunked = _scale.sort_edges_by_time(
+            KR.astype(dtype), packed.k_r.astype(dtype),
+            packed.cam_idx, packed.time_idx, T, chunk_t,
+        )
+    tm.log(
+        "Large-graph path: {} chunks of {} timesteps (block-tensor budget "
+        "exceeded)".format(chunked[0].shape[0], chunk_t)
+    )
+
+    with tm.phase("Optimizing (chunked power graph)") as ev:
+        with jax.default_matmul_precision("highest"):
+            if mesh is not None:
+                result = _scale.so3_sync_large_sharded(
+                    *chunked, C=C, T=T, chunk_t=chunk_t, maxiter=maxiter,
+                    mesh=mesh, cert_tol=cert_tol,
+                )
+            else:
+                result = _scale.so3_sync_large(
+                    *[jnp.asarray(x) for x in chunked], C=C, T=T,
+                    chunk_t=chunk_t, maxiter=jnp.asarray(maxiter, jnp.int32),
+                    cert_tol=cert_tol,
+                )
+        ev["sync"] = result
+    if verbose:
+        tm.log(
+            "Iterations: {}  evals: {}  eigengap: {:1.3e}".format(
+                int(result.num_iters), np.asarray(result.evals), float(result.eigengap)
+            )
+        )
+    return result
+
+
+def _se3sync_scale_path(
+    packed: PackedProblem, dtype, maxiter, lsqr_solver, tm, verbose, mesh=None
+) -> dict:
+    """The 10k-camera route: chunked power graph + matrix-free translations.
+
+    Same algorithm and output contract as the dense path; the (C,3,T,3)
+    block tensor is replaced by a stream of (3C, 3Tc) chunk matmuls
+    (:func:`vican_tpu.solver.scale.so3_sync_large`), optionally sharded over
+    a device mesh (SURVEY.md §5 sequence parallelism).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    C, T = packed.num_cams, packed.num_times
+    result = _so3_sync_large_from_packed(packed, dtype, maxiter, tm, verbose, mesh)
+
+    with tm.phase("Solving translations (matrix-free)"):
+        t_e = jnp.asarray(packed.t_e, dtype)
+        k_t = jnp.asarray(packed.k_t, dtype)
+        cam_idx = jnp.asarray(packed.cam_idx)
+        time_idx = jnp.asarray(packed.time_idx)
+        with jax.default_matmul_precision("highest"):
+            t_tilde = _core.translation_rhs(
+                result.r_cam.astype(dtype), result.r_time.astype(dtype),
+                t_e, k_t, cam_idx, time_idx,
+                jnp.asarray(packed.marker_idx), jnp.asarray(packed.R_con, dtype),
+                jnp.asarray(packed.t_con, dtype), packed.root_idx,
+            )
+            if lsqr_solver == "conjugate_gradient":
+                t_est, res = _core.solve_translations_cg(
+                    t_tilde, k_t, cam_idx, time_idx, C=C, T=T
+                )
+            else:  # "direct" (validated by the caller)
+                t_est, res = _core.solve_translations_lsqr(
+                    t_tilde, k_t, cam_idx, time_idx, C=C, T=T
+                )
+        t_est = np.asarray(t_est)
+
+    res = float(res)
+    if res > 1e-3:
+        warnings.warn(f"translation solve residual {res:.3e} (poorly converged)")
+
+    r_cam = np.asarray(result.r_cam)
+    r_time = np.asarray(result.r_time)
+    out = {}
+    for i, c in enumerate(packed.cam_ids):
+        out[c] = SE3(R=r_cam[i], t=t_est[i])
+    for j, t in enumerate(packed.time_ids):
+        out[t + "_0"] = SE3(R=r_time[j], t=t_est[C + j])
+    tm.log("Done!")
+    return out
 
 
 def bipartite_se3sync(
@@ -156,6 +300,7 @@ def bipartite_se3sync(
     lsqr_solver: str = "conjugate_gradient",
     dtype=np.float32,
     verbose: bool = True,
+    mesh=None,
 ) -> dict:
     """SE(3) synchronization in large bipartite graphs with node constraints.
 
@@ -165,10 +310,22 @@ def bipartite_se3sync(
     ``"direct"`` for LSQR — both iterative, mirroring bipgo.py:476-480).
     Returns ``{node: SE3}`` world-frame poses for cameras and ``"<t>_0"``
     object nodes.
+
+    Problems whose dense (C,3,T,3) block tensor exceeds the memory budget
+    (``VICAN_TPU_BLOCK_BUDGET_BYTES``, default 2 GiB) are transparently
+    routed to the chunked large-graph solver — the dict API handles any size,
+    like the reference's scipy-sparse formulation (bipgo.py:353-490).
+    ``mesh``: optional ``jax.sharding.Mesh``; the large-graph chunk stream is
+    sharded over its first axis.
     """
     import jax
     import jax.numpy as jnp
 
+    if lsqr_solver not in ("conjugate_gradient", "direct"):
+        raise ValueError(
+            f"unknown lsqr_solver: {lsqr_solver!r}; "
+            "expected 'conjugate_gradient' or 'direct'"
+        )
     requested = np.dtype(dtype)
     dtype = _solver_dtype(dtype)
     tm = PhaseTimer(verbose=verbose)
@@ -187,8 +344,14 @@ def bipartite_se3sync(
         )
     )
 
-    arrs = _device_arrays(packed, dtype)
     C, T = packed.num_cams, packed.num_times
+    block_bytes = C * T * 9 * np.dtype(dtype).itemsize
+    if block_bytes > _block_budget_bytes():
+        return _se3sync_scale_path(
+            packed, dtype, maxiter, lsqr_solver, tm, verbose, mesh=mesh
+        )
+
+    arrs = _device_arrays(packed, dtype)
 
     # Reference-grade f64: when the caller asked for float64 but the device
     # computes f32 (TPU), the translation stage runs on the host in f64 —
@@ -202,6 +365,18 @@ def bipartite_se3sync(
         and dtype != np.float64
         and packed.num_edges <= MAX_HOST_EDGES
     )
+    if (
+        requested == np.float64
+        and dtype != np.float64
+        and packed.num_edges > MAX_HOST_EDGES
+    ):
+        warnings.warn(
+            f"float64 requested but the problem has {packed.num_edges} edges "
+            f"(> MAX_HOST_EDGES={MAX_HOST_EDGES}): the host-f64 translation "
+            "fallback is disabled at this size and the whole solve proceeds "
+            "in device float32",
+            stacklevel=2,
+        )
 
     if host_f64_translations:
         with tm.phase("Optimizing (device) + solving (host f64)") as ev:
@@ -213,6 +388,7 @@ def bipartite_se3sync(
                 result = _core.so3_sync(
                     KR, arrs["k_r"], arrs["cam_idx"], arrs["time_idx"],
                     C=C, T=T, maxiter=jnp.asarray(maxiter, jnp.int32),
+                    cert_tol=1e-6 / packed.k_r_scale,
                 )
             r_cam = np.asarray(result.r_cam)
             r_time = np.asarray(result.r_time)
@@ -244,6 +420,7 @@ def bipartite_se3sync(
                     arrs["R_con"], arrs["t_con"],
                     root_idx=packed.root_idx, C=C, T=T,
                     maxiter=jnp.asarray(maxiter, jnp.int32),
+                    cert_tol=1e-6 / packed.k_r_scale,
                 )
             elif lsqr_solver == "direct":
                 KR = _core.fold_constraints(
@@ -253,6 +430,7 @@ def bipartite_se3sync(
                 result = _core.so3_sync(
                     KR, arrs["k_r"], arrs["cam_idx"], arrs["time_idx"],
                     C=C, T=T, maxiter=jnp.asarray(maxiter, jnp.int32),
+                    cert_tol=1e-6 / packed.k_r_scale,
                 )
                 t_tilde = _core.translation_rhs(
                     result.r_cam.astype(dtype), result.r_time.astype(dtype),

@@ -25,6 +25,33 @@ from .geometry import SE3
 __all__ = ["Dataset", "DojoDataset"]
 
 
+def _scan_images(root: str, cams: dict) -> dict:
+    """Scan ``root/<timestep>/<cam_id>.jpg`` into the ``im_data`` contract.
+
+    One ``os.scandir`` pass per directory (stat-free on most filesystems —
+    the reference's ``os.listdir`` + isdir loop stats every entry twice,
+    which dominates ingestion on the 10k-directory datasets), with a
+    deterministic sorted traversal so ``im_data`` ordering is reproducible
+    across filesystems.  Returns parallel lists keyed
+    ``filename/timestamp/cam/cam_id`` (vican/dataset.py:79-98 contract).
+    """
+    im_data = {"filename": [], "timestamp": [], "cam": [], "cam_id": []}
+    with os.scandir(root) as it:
+        tdirs = sorted(
+            (e.name, e.path) for e in it if e.name.isnumeric() and e.is_dir()
+        )
+    for t, tpath in tdirs:
+        with os.scandir(tpath) as it:
+            files = sorted(e.name for e in it if e.name.endswith(".jpg"))
+        for filename in files:
+            cam_id = filename.rsplit(".", 1)[0]
+            im_data["cam_id"].append(cam_id)
+            im_data["filename"].append(os.path.join(tpath, filename))
+            im_data["timestamp"].append(t)
+            im_data["cam"].append(cams[cam_id])
+    return im_data
+
+
 class Dataset:
     """Blender-rendered dataset: images, cameras, optional GT object poses.
 
@@ -70,30 +97,17 @@ class Dataset:
         (render.py:504-515); they are merged by timestep key.
         """
         self.object = {}
-        for filename in os.listdir(self.root):
-            if filename.split("_")[0] != "object":
-                continue
-            with open(os.path.join(self.root, filename)) as f:
+        with os.scandir(self.root) as it:
+            shards = sorted(e.path for e in it if e.name.startswith("object_"))
+        for path in shards:
+            with open(path) as f:
                 object_data = json.load(f)
             for t, pose_dict in object_data.items():
                 self.object[t] = SE3(R=np.array(pose_dict["R"]), t=np.array(pose_dict["t"]))
 
     def read_im_data(self):
         """Scan numeric subdirectories for ``<cam_id>.jpg`` images."""
-        self.im_data = {"filename": [], "timestamp": [], "cam": [], "cam_id": []}
-        timestamps = [
-            t
-            for t in os.listdir(self.root)
-            if t.isnumeric() and os.path.isdir(os.path.join(self.root, t))
-        ]
-        for t in timestamps:
-            for filename in os.listdir(os.path.join(self.root, t)):
-                if filename.endswith(".jpg"):
-                    cam_id = filename.split(".")[0]
-                    self.im_data["cam_id"].append(cam_id)
-                    self.im_data["filename"].append(os.path.join(self.root, t, filename))
-                    self.im_data["timestamp"].append(t)
-                    self.im_data["cam"].append(self.cams[cam_id])
+        self.im_data = _scan_images(self.root, self.cams)
 
 
 class DojoDataset:
@@ -137,16 +151,4 @@ class DojoDataset:
         }
 
     def read_im_data(self):
-        path = os.path.join(self.root, "aruco_images_samples")
-        self.im_data = {"filename": [], "timestamp": [], "cam": [], "cam_id": []}
-        timestamps = [
-            t for t in os.listdir(path) if t.isnumeric() and os.path.isdir(os.path.join(path, t))
-        ]
-        for t in timestamps:
-            for filename in os.listdir(os.path.join(path, t)):
-                if filename.endswith(".jpg"):
-                    cam_id = filename.split(".")[0]
-                    self.im_data["cam_id"].append(cam_id)
-                    self.im_data["filename"].append(os.path.join(path, t, filename))
-                    self.im_data["timestamp"].append(t)
-                    self.im_data["cam"].append(self.cams[cam_id])
+        self.im_data = _scan_images(os.path.join(self.root, "aruco_images_samples"), self.cams)

@@ -48,6 +48,8 @@ __all__ = [
     "connected_components",
     "extract_quads",
     "refine_corners",
+    "refine_corners_subpix",
+    "refine_quad",
     "decode_quads",
     "detect_markers",
 ]
@@ -77,6 +79,9 @@ class DetectorParams(NamedTuple):
     error_correction_bits: int = 0  # Hamming budget for id matching
     decode_samples: int = 5  # NxN samples per bit cell
     use_pallas_threshold: bool = False  # fused single-pass TPU threshold kernel
+    subpix_win: int = 5  # cornerSubPix half-window (cv2 winSize=(5,5))
+    subpix_iters: int = 50  # cornerRefinementMaxIterations (cam.py:133)
+    subpix_acc: float = 0.05  # cornerRefinementMinAccuracy (cam.py:131)
 
 
 def preprocess(im, brightness: float = 0.0, contrast: float = 0.0):
@@ -352,6 +357,74 @@ def refine_corners(gray, quad, params: DetectorParams):
     return jnp.where((dist < 4.0)[:, None], refined, quad)
 
 
+def refine_corners_subpix(gray, quad, params: DetectorParams):
+    """OpenCV ``cornerSubPix``-style refinement (CORNER_REFINE_SUBPIX).
+
+    The reference exposes this as a distinct detector method (cam.py:130 via
+    the string registry); OpenCV's implementation iterates the gradient
+    orthogonality condition: every gradient ``g(p)`` in a window around the
+    corner ``q`` should be perpendicular to ``p - q``, giving the normal
+    equations ``(sum w g g^T) q = sum w (g g^T) p``.  Separable Gaussian
+    window weights, stop on ``subpix_iters`` (cornerRefinementMaxIterations,
+    cam.py:133) or an update smaller than ``subpix_acc``
+    (cornerRefinementMinAccuracy, cam.py:131).
+    """
+    win = params.subpix_win
+    dx = jnp.arange(-win, win + 1, dtype=jnp.float32)
+    ox, oy = jnp.meshgrid(dx, dx)
+    w = jnp.exp(-((ox / win) ** 2)) * jnp.exp(-((oy / win) ** 2))
+
+    def one(q0):
+        def body(state):
+            it, q, _ = state
+            px = q[0] + ox
+            py = q[1] + oy
+            gx = (_bilinear(gray, px + 1.0, py) - _bilinear(gray, px - 1.0, py)) * 0.5
+            gy = (_bilinear(gray, px, py + 1.0) - _bilinear(gray, px, py - 1.0)) * 0.5
+            gxx = jnp.sum(w * gx * gx)
+            gxy = jnp.sum(w * gx * gy)
+            gyy = jnp.sum(w * gy * gy)
+            bx = jnp.sum(w * (gx * gx * px + gx * gy * py))
+            by = jnp.sum(w * (gx * gy * px + gy * gy * py))
+            det = gxx * gyy - gxy * gxy
+            qn = jnp.stack(
+                [
+                    (gyy * bx - gxy * by) / jnp.where(det == 0, 1.0, det),
+                    (-gxy * bx + gxx * by) / jnp.where(det == 0, 1.0, det),
+                ]
+            )
+            qn = jnp.where(jnp.abs(det) > 1e-9, qn, q)
+            return it + 1, qn, jnp.linalg.norm(qn - q)
+
+        def cond(state):
+            it, _, move = state
+            return (it < params.subpix_iters) & (move >= params.subpix_acc)
+
+        init = (jnp.zeros((), jnp.int32), q0, jnp.asarray(jnp.inf, q0.dtype))
+        _, q, _ = lax.while_loop(cond, body, init)
+        # reject refinements that wandered implausibly far (same clamp as
+        # the apriltag path)
+        return jnp.where(jnp.linalg.norm(q - q0) < 4.0, q, q0)
+
+    return jax.vmap(one)(quad)
+
+
+def refine_quad(gray, quad, params: DetectorParams):
+    """Dispatch corner refinement on ``params.corner_refine``.
+
+    ``"apriltag"`` -> :func:`refine_corners` (edge line fits),
+    ``"subpix"`` -> :func:`refine_corners_subpix` (cornerSubPix iteration),
+    ``"none"`` -> the raw quad (reference CORNER_REFINE_NONE semantics).
+    """
+    if params.corner_refine == "apriltag":
+        return refine_corners(gray, quad, params)
+    if params.corner_refine == "subpix":
+        return refine_corners_subpix(gray, quad, params)
+    if params.corner_refine == "none":
+        return quad
+    raise ValueError(f"unknown corner_refine kind: {params.corner_refine!r}")
+
+
 def _otsu(values, bins: int = 64):
     """Otsu's threshold of a 1-D intensity sample (fixed-bin histogram)."""
     lo = values.min()
@@ -511,7 +584,7 @@ def detect_markers(gray, table, n_bits: int, params: DetectorParams) -> Detectio
 
     Wn, K = len(params.win_sizes), params.max_candidates
     corners_flat = cand.corners.reshape(Wn * K, 4, 2)
-    refined = jax.vmap(lambda q: refine_corners(gray, q, params))(corners_flat)
+    refined = jax.vmap(lambda q: refine_quad(gray, q, params))(corners_flat)
     ids, rots, corners, ok = decode_quads(
         gray, refined, cand.valid.reshape(Wn * K), table, n_bits, params
     )

@@ -170,7 +170,7 @@ def _build_hybrid(B, Q, n_bits, params, lm_iters, marker_size):
             gray = gray_u8.astype(jnp.float32)
 
             def per_image(g, q, v, a):
-                refined = jax.vmap(lambda qq: D_.refine_corners(g, qq, params))(q)
+                refined = jax.vmap(lambda qq: D_.refine_quad(g, qq, params))(q)
                 ids, rots, corners, ok = D_.decode_quads(
                     g, refined, v, table, n_bits, params
                 )
@@ -230,8 +230,7 @@ def estimate_pose_batched(
     table = jnp.asarray(marker_bits_table(aruco))
 
     params = detector_params or D_.DetectorParams()
-    if refine_kind == "none":
-        params = params._replace(refine_samples=2, refine_offsets=3)
+    params = params._replace(corner_refine=refine_kind)
 
     out: dict = {}
     B = batch_size

@@ -52,6 +52,7 @@ def detect_and_draw(
 
     from .ops import detect as D_
     from .ops.dictionary import get_dictionary, marker_bits_table
+    from .utils.registry import CORNER_REFINE, resolve
 
     im = cv.imread(im_filename)
     if im is None:
@@ -59,7 +60,10 @@ def detect_and_draw(
 
     _, n_bits = get_dictionary(aruco)
     table = jnp.asarray(marker_bits_table(aruco))
-    params = D_.DetectorParams()
+    # honor the requested refinement method (reference plot.py:78-79)
+    params = D_.DetectorParams()._replace(
+        corner_refine=resolve(CORNER_REFINE, corner_refine, "corner_refine")
+    )
     gray = D_.preprocess(jnp.asarray(im), brightness, contrast)
     out = D_.detect_markers(gray, table, n_bits, params)
 

@@ -306,6 +306,7 @@ def se3sync_full(
     T: int,
     maxiter,
     cg_tol=1e-5,
+    cert_tol=1e-6,
 ):
     """Fused device program: fold -> SO(3) sync -> translation rhs -> CG.
 
@@ -313,7 +314,9 @@ def se3sync_full(
     ``(SyncResult, t_est (C+T, 3), cg_residual)``.
     """
     KR = fold_constraints(R_e, k_r, marker_idx, R_con, root_idx)
-    result = so3_sync(KR, k_r, cam_idx, time_idx, C=C, T=T, maxiter=maxiter)
+    result = so3_sync(
+        KR, k_r, cam_idx, time_idx, C=C, T=T, maxiter=maxiter, cert_tol=cert_tol
+    )
     t_tilde = translation_rhs(
         result.r_cam, result.r_time, t_e, k_t, cam_idx, time_idx,
         marker_idx, R_con, t_con, root_idx,

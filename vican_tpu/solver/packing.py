@@ -91,6 +91,10 @@ class PackedProblem:
     # optional compact rotation transfer (E, 4) wxyz; set when the edge
     # rotations verify as orthonormal (PnP outputs always do)
     q_e: np.ndarray | None = None
+    # factor the rotation weights were divided by during f32 normalization
+    # (1.0 when unnormalized); the optimality certificate threshold must be
+    # divided by this to stay equivalent to the reference's absolute test
+    k_r_scale: float = 1.0
 
     @property
     def num_cams(self) -> int:
@@ -253,27 +257,39 @@ def pack_problem(
         cam_idx = np.array([cam2idx[c] for c in kept_cam_names], dtype=np.int32)
         time_idx = np.array([time2idx[t] for t in kept_time_names], dtype=np.int32)
 
+    k_r_scale = 1.0
     if np.dtype(dtype) == np.float32:
         # The tutorial's noise models reach areas**6 ~ 1e16 (main.ipynb cell
         # 3); squared norms of such weights overflow float32.  The solve is
         # invariant to a global weight scale (it multiplies the Laplacian /
-        # the LSQ system uniformly), so normalize to max = 1 in f32.
-        for arr in (k_r, k_t):
-            m = float(np.max(np.abs(arr))) if arr.size else 0.0
-            if m > 0:
-                arr /= m
+        # the LSQ system uniformly), so normalize to max = 1 in f32.  The
+        # rotation factor is recorded so the solver's absolute optimality
+        # certificate (max|eval| <= 1e-6, bipgo.py:283-284) can be rescaled
+        # to fire at the same point as the reference's unnormalized test.
+        m = float(np.max(np.abs(k_r))) if k_r.size else 0.0
+        if m > 0:
+            k_r /= m
+            k_r_scale = m
+        m = float(np.max(np.abs(k_t))) if k_t.size else 0.0
+        if m > 0:
+            k_t /= m
 
     # Compact rotation transfer: the host->device link is bandwidth-bound,
     # so orthonormal edge rotations ship as quaternions (4 floats vs 9).
+    # The orthonormality/properness gate runs over EVERY edge — a few
+    # non-orthonormal poses outside a sampled subset would otherwise be
+    # silently "repaired" by the quaternion round-trip, diverging from the
+    # reference (which folds the raw matrix).  The full (E,3,3) einsum is
+    # negligible next to the host-link transfer it enables.
     q_e = None
-    sample = R_e[:: max(len(R_e) // 512, 1)]
-    ortho = np.abs(np.einsum("eij,ekj->eik", sample, sample) - np.eye(3)).max()
-    proper = np.linalg.det(sample).min() > 0.5  # reflections are not rotations
+    ortho = np.abs(np.einsum("eij,ekj->eik", R_e, R_e) - np.eye(3)).max()
+    proper = np.linalg.det(R_e).min() > 0.5  # reflections are not rotations
     if ortho < 1e-3 and proper:
         q_e = _mat_to_quat(R_e).astype(dtype)
 
     return PackedProblem(
         q_e=q_e,
+        k_r_scale=k_r_scale,
         cam_ids=cam_ids,
         time_ids=time_ids,
         marker_ids=marker_ids,

@@ -30,12 +30,15 @@ ARUCO_DICTS = {
     "DICT_7X7_1000": (7, 1000),
 }
 
-# Corner-refinement methods for the detector.
+# Corner-refinement methods for the detector.  SUBPIX maps to a distinct
+# cornerSubPix-style implementation (ops.detect.refine_corners_subpix);
+# CONTOUR has no device analogue (it walks OpenCV's contour point lists) and
+# is served by the edge-line-fit method, the closest in spirit.
 CORNER_REFINE = {
     None: "none",
     "CORNER_REFINE_NONE": "none",
     "CORNER_REFINE_SUBPIX": "subpix",
-    "CORNER_REFINE_CONTOUR": "subpix",
+    "CORNER_REFINE_CONTOUR": "apriltag",
     "CORNER_REFINE_APRILTAG": "apriltag",
 }
 
