@@ -130,17 +130,26 @@ def main():
             print(f"# baseline measurement failed: {e!r}", file=sys.stderr)
 
     vs = (baseline_s / ours_s) if baseline_s else None
+    details = {
+        "first_call_s": round(warm_s, 2),
+        "baseline_scipy_s": round(baseline_s, 2) if baseline_s else None,
+        "rot_err_deg_mean": round(r_err, 5),
+        "trans_err_m_mean": round(t_err, 6),
+    }
+    # 10k-camera chunked-path wall-clock, recorded by benchmarks/scale_bench.py
+    # (too slow to re-run inside the driver bench; the stored result carries
+    # its own config + forced-fetch methodology).
+    scale_path = os.path.join(REPO, "benchmarks", "scale_result.json")
+    if os.path.isfile(scale_path):
+        with open(scale_path) as f:
+            sr = json.load(f)
+        details["scale_10kcam_warm_s_recorded"] = sr["value"]
     print(json.dumps({
         "metric": "large_shop_synth se3sync wall-clock (100 cams, 10k timesteps, 120k edges)",
         "value": round(ours_s, 4),
         "unit": "s",
         "vs_baseline": round(vs, 2) if vs else None,
-        "details": {
-            "first_call_s": round(warm_s, 2),
-            "baseline_scipy_s": round(baseline_s, 2) if baseline_s else None,
-            "rot_err_deg_mean": round(r_err, 5),
-            "trans_err_m_mean": round(t_err, 6),
-        },
+        "details": details,
     }))
 
 

@@ -1,0 +1,145 @@
+"""Scale benchmark: 10k-camera / 1M-edge SO(3) sync (BASELINE.md row 7).
+
+The reference cannot run this configuration at all (its shift-invert LU
+factors an effectively dense 30k x 30k power graph — vican/bipgo.py:288);
+this measures our chunked large-graph path (solver/scale.py) on the real
+device.
+
+Measurement rules (CLAUDE.md): ``jax.block_until_ready`` is a NO-OP under
+the axon tunnel, so every timing forces a fetch with ``np.asarray``.  Warm
+numbers are a median over ``--reps`` runs after one compile run.
+
+Writes ``benchmarks/scale_result.json`` (read by bench.py as a recorded
+detail) and prints one JSON line.
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
+def make_folded_edges(seed, C, T, E, kappa):
+    """Synthetic folded edge blocks KR = k * R_c^T R_t with Langevin noise.
+
+    Built directly at the folded level (the dict/packing boundary is
+    measured by bench.py; this isolates the device solver at a scale where
+    a 1M-entry Python dict would dominate setup time, not solve time).
+    """
+    rng = np.random.default_rng(seed)
+
+    def rand_rots(n):
+        q = rng.normal(size=(n, 4))
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        w, x, y, z = q.T
+        return np.stack(
+            [
+                np.stack([1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)], -1),
+                np.stack([2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)], -1),
+                np.stack([2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)], -1),
+            ],
+            axis=-2,
+        )
+
+    R_c = rand_rots(C)
+    R_t = rand_rots(T)
+    # coverage: every camera appears in the first C edges, every timestep in
+    # the last T; the remaining assignments are uniform (E >> C + T makes the
+    # bipartite graph connected with overwhelming probability)
+    assert E >= C + T
+    cam_idx = np.concatenate([np.arange(C), rng.integers(0, C, E - C)]).astype(np.int32)
+    time_idx = np.concatenate([rng.integers(0, T, E - T), np.arange(T)]).astype(np.int32)
+    # small-angle Langevin-ish noise
+    ax = rng.normal(size=(E, 3)) / np.sqrt(kappa)
+    th = np.linalg.norm(ax, axis=1, keepdims=True)
+    k_hat = ax / np.maximum(th, 1e-12)
+    K = np.zeros((E, 3, 3))
+    K[:, 0, 1], K[:, 0, 2] = -k_hat[:, 2], k_hat[:, 1]
+    K[:, 1, 0], K[:, 1, 2] = k_hat[:, 2], -k_hat[:, 0]
+    K[:, 2, 0], K[:, 2, 1] = -k_hat[:, 1], k_hat[:, 0]
+    s = np.sin(th)[..., None]
+    c = (1 - np.cos(th))[..., None]
+    N = np.eye(3) + s * K + c * (K @ K)
+    # measurement M_ct ~ R_c^T R_t (the folded convention core.so3_sync syncs)
+    KR = np.einsum("eji,ejk,ekl->eil", R_c[cam_idx], N, R_t[time_idx]).astype(np.float32)
+    k_r = np.ones(E, np.float32)
+    return KR, k_r, cam_idx, time_idx
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cams", type=int, default=10_000)
+    ap.add_argument("--times", type=int, default=10_000)
+    ap.add_argument("--edges", type=int, default=1_000_000)
+    ap.add_argument("--chunk-t", type=int, default=64)
+    ap.add_argument("--maxiter", type=int, default=4)
+    ap.add_argument("--reps", type=int, default=3)
+    args = ap.parse_args()
+
+    import jax.numpy as jnp
+
+    from vican_tpu.solver.scale import so3_sync_large, sort_edges_by_time
+
+    C, T, E = args.cams, args.times, args.edges
+    t0 = time.perf_counter()
+    KR, k_r, cam_idx, time_idx = make_folded_edges(0, C, T, E, kappa=1e4)
+    gen_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    chunked = sort_edges_by_time(KR, k_r, cam_idx, time_idx, T, args.chunk_t)
+    chunk_s = time.perf_counter() - t0
+
+    def run():
+        t0 = time.perf_counter()
+        dev = [jnp.asarray(x) for x in chunked]  # H2D included (host link)
+        res = so3_sync_large(
+            *dev, C=C, T=T, chunk_t=args.chunk_t,
+            maxiter=jnp.asarray(args.maxiter, jnp.int32),
+        )
+        r_cam = np.asarray(res.r_cam)  # forced fetch = the only real sync
+        evals = np.asarray(res.evals)
+        return time.perf_counter() - t0, r_cam, evals, int(res.num_iters)
+
+    compile_s, r_cam, evals, iters = run()
+    warm = [run() for _ in range(args.reps)]
+    warm_s = sorted(w[0] for w in warm)[len(warm) // 2]
+
+    ortho_err = float(np.abs(r_cam @ r_cam.transpose(0, 2, 1) - np.eye(3)).max())
+    assert np.isfinite(r_cam).all() and ortho_err < 1e-2, ortho_err
+
+    result = {
+        "metric": f"so3_sync_large warm wall-clock ({C} cams, {T} timesteps, {E} edges, maxiter={args.maxiter})",
+        "value": round(warm_s, 3),
+        "unit": "s",
+        "details": {
+            "compile_run_s": round(compile_s, 2),
+            "warm_runs_s": [round(w[0], 3) for w in warm],
+            "edge_gen_s": round(gen_s, 2),
+            "host_chunk_sort_s": round(chunk_s, 2),
+            "iters": iters,
+            "kernel_evals_max_abs": float(np.abs(evals[:3]).max()),
+            "eigengap": float(abs(evals[3] / evals[2])),
+            "r_cam_ortho_err": ortho_err,
+            "backend": jax.devices()[0].platform,
+            "measured_with_forced_fetch": True,
+        },
+    }
+    out_path = os.path.join(REPO, "benchmarks", "scale_result.json")
+    with open(out_path, "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -57,6 +57,18 @@ __all__ = [
 BIG = jnp.int32(2**30)
 
 
+def resolve_pallas(params: "DetectorParams") -> bool:
+    """Whether the fused Pallas threshold kernel should run.
+
+    ``use_pallas_threshold=None`` means auto: on (real compilation) for TPU
+    backends, off elsewhere (the XLA integral-image formulation is the
+    portable path; the kernel's Mosaic lowering is TPU-only).
+    """
+    if params.use_pallas_threshold is None:
+        return jax.default_backend() == "tpu"
+    return bool(params.use_pallas_threshold)
+
+
 class DetectorParams(NamedTuple):
     """Static detector configuration (mirrors cv.aruco.DetectorParameters).
 
@@ -78,7 +90,7 @@ class DetectorParams(NamedTuple):
     max_border_err_rate: float = 0.35  # erroneous border bits tolerated
     error_correction_bits: int = 0  # Hamming budget for id matching
     decode_samples: int = 5  # NxN samples per bit cell
-    use_pallas_threshold: bool = False  # fused single-pass TPU threshold kernel
+    use_pallas_threshold: bool | None = None  # fused one-pass TPU kernel; None = auto (TPU yes)
     subpix_win: int = 5  # cornerSubPix half-window (cv2 winSize=(5,5))
     subpix_iters: int = 50  # cornerRefinementMaxIterations (cam.py:133)
     subpix_acc: float = 0.05  # cornerRefinementMinAccuracy (cam.py:131)

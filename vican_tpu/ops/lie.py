@@ -133,9 +133,12 @@ def svd3_so3(x: jnp.ndarray):
     dispatch.
     """
     u, s, vt = jnp.linalg.svd(x)
-    det = jnp.linalg.det(u @ vt)
+    # explicit HIGHEST precision: orthonormality of the output is a
+    # correctness property and must not depend on the ambient matmul
+    # precision (the default is bf16-accumulation on TPU, ~2e-2 error here)
+    det = jnp.linalg.det(jnp.matmul(u, vt, precision=jax.lax.Precision.HIGHEST))
     fix = jnp.stack([jnp.ones_like(det), jnp.ones_like(det), det], axis=-1)
-    r = (u * fix[..., None, :]) @ vt
+    r = jnp.matmul(u * fix[..., None, :], vt, precision=jax.lax.Precision.HIGHEST)
     return r, u, s, vt
 
 
