@@ -173,6 +173,81 @@ class TestDetectMarkers:
         assert 5 in found
 
 
+class TestErrorCorrection:
+    def test_budget_from_dictionary_min_distance(self):
+        from vican_tpu.ops.dictionary import max_correction_bits, min_hamming_distance
+
+        assert min_hamming_distance("DICT_4X4_1000") == 2
+        assert max_correction_bits("DICT_4X4_1000") == 0
+        assert max_correction_bits("DICT_6X6_250") == 5
+        p = detect.resolve_error_correction(detect.DetectorParams(), "DICT_6X6_250")
+        assert p.error_correction_bits == 3  # floor(0.6 * 5), cv2 convention
+        p = detect.resolve_error_correction(detect.DetectorParams(), "DICT_4X4_1000")
+        assert p.error_correction_bits == 0  # correction unsafe at tau = 2
+        explicit = detect.DetectorParams(error_correction_bits=1)
+        assert detect.resolve_error_correction(explicit, "DICT_6X6_250").error_correction_bits == 1
+
+    def test_corrects_flipped_bits_without_false_ids(self):
+        """Bit flips within the budget decode to the right id; strict matching
+        misses them; flips never produce a different id (unique-decoding
+        radius guarantee)."""
+        name = "DICT_6X6_250"
+        cvd = cv.aruco.getPredefinedDictionary(cv.aruco.DICT_6X6_250)
+        table6 = jnp.asarray(marker_bits_table(name))
+        params = detect.resolve_error_correction(detect.DetectorParams(), name)
+        size = 120  # cells = 8 -> 15 px per cell
+        # isolated interior flips (not border-adjacent, not adjacent to each
+        # other): clustered flipped cells merge into a black blob that breaks
+        # the adaptive-threshold ring itself — a segmentation failure mode
+        # shared with OpenCV, not a decode-correction case
+        for mid, flipped in [(17, [(4, 5)]), (42, [(2, 2), (4, 5)]),
+                             (3, [(2, 2), (2, 5), (5, 2)])]:
+            nflip = len(flipped)
+            m = cvd.generateImageMarker(mid, size)
+            cell = size // 8
+            for r, c in flipped:
+                sl = np.s_[r * cell : (r + 1) * cell, c * cell : (c + 1) * cell]
+                m[sl] = 255 - m[sl]
+            img = np.full((240, 320), 170, np.uint8)
+            img[40 : 40 + size, 60 : 60 + size] = m
+            gray = detect.preprocess(jnp.asarray(img))
+            out = detect.detect_markers(gray, table6, 6, params)
+            found = {int(i) for i, ok in zip(out.ids, np.asarray(out.valid)) if ok}
+            assert found == {mid}, (mid, nflip, found)
+            strict = params._replace(error_correction_bits=0)
+            out0 = detect.detect_markers(gray, table6, 6, strict)
+            assert not np.asarray(out0.valid).any()
+
+    def test_degraded_scene_recall_vs_cv(self, tmp_path):
+        """JPEG-compressed + blurred scene: recall >= the cv2 detector (which
+        also error-corrects), with zero false ids."""
+        name = "DICT_6X6_250"
+        cvd = cv.aruco.getPredefinedDictionary(cv.aruco.DICT_6X6_250)
+        table6 = jnp.asarray(marker_bits_table(name))
+        params = detect.resolve_error_correction(detect.DetectorParams(), name)
+
+        img, gt = compose_scene(
+            cvd,
+            [(7, 96, (40, 60), 0), (42, 80, (200, 300), 1), (123, 64, (50, 330), 2),
+             (200, 72, (220, 80), 3)],
+        )
+        img = cv.GaussianBlur(img, (0, 0), 1.0)
+        ok_enc, buf = cv.imencode(".jpg", img, [cv.IMWRITE_JPEG_QUALITY, 40])
+        assert ok_enc
+        img = cv.imdecode(buf, cv.IMREAD_GRAYSCALE)
+
+        out = detect.detect_markers(detect.preprocess(jnp.asarray(img)), table6, 6, params)
+        ours = {int(i) for i, ok in zip(out.ids, np.asarray(out.valid)) if ok}
+
+        params_cv = cv.aruco.DetectorParameters()
+        params_cv.cornerRefinementMethod = cv.aruco.CORNER_REFINE_APRILTAG
+        _, ids, _ = cv.aruco.ArucoDetector(cvd, params_cv).detectMarkers(img)
+        cv_ids = set() if ids is None else set(ids.ravel().tolist())
+
+        assert ours - set(gt) == set(), ours  # zero false ids
+        assert len(ours) >= len(cv_ids & set(gt)), (ours, cv_ids)
+
+
 class TestRecallVsOpenCV:
     def test_beats_cv_on_rendered_scene(self, table, cv_dict, tmp_path):
         """On oblique cube scenes the Otsu-majority decode must at least match

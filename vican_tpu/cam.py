@@ -111,6 +111,7 @@ def estimate_pose_mp(
     marker_ids: Iterable[str] | None,
     batch_size: int = 32,
     mesh=None,
+    pipeline_mode: str = "auto",
     verbose: bool = True,
 ) -> dict:
     """Batched marker detection + PnP over all images (vican/cam.py:190-265).
@@ -144,6 +145,7 @@ def estimate_pose_mp(
         flags=flags,
         batch_size=batch_size,
         mesh=mesh,
+        pipeline_mode=pipeline_mode,
         verbose=verbose,
     )
 

@@ -52,9 +52,30 @@ __all__ = [
     "refine_quad",
     "decode_quads",
     "detect_markers",
+    "resolve_error_correction",
+    "resolve_pallas",
 ]
 
 BIG = jnp.int32(2**30)
+
+
+def resolve_error_correction(params: "DetectorParams", aruco: str) -> "DetectorParams":
+    """Fill in the auto Hamming budget from the dictionary's min distance.
+
+    ``error_correction_bits=None`` becomes ``floor(rate * (tau-1)//2)`` —
+    correction capped at the unique-decoding radius times OpenCV's
+    ``errorCorrectionRate`` convention, so a corrected word can never be
+    closer to a different (rotation of a) dictionary word: the 0-false-id
+    property is preserved by construction.  For DICT_4X4_1000 (tau = 2) the
+    budget is 0, i.e. strict matching — correction is information-
+    theoretically unsafe there, exactly as in OpenCV.
+    """
+    if params.error_correction_bits is not None:
+        return params
+    from .dictionary import max_correction_bits
+
+    budget = int(params.error_correction_rate * max_correction_bits(aruco))
+    return params._replace(error_correction_bits=budget)
 
 
 def resolve_pallas(params: "DetectorParams") -> bool:
@@ -88,7 +109,11 @@ class DetectorParams(NamedTuple):
     refine_offsets: int = 5  # perpendicular probes per sample
     corner_refine: str = "apriltag"
     max_border_err_rate: float = 0.35  # erroneous border bits tolerated
-    error_correction_bits: int = 0  # Hamming budget for id matching
+    # Hamming budget for id matching. None = auto: floor(error_correction_rate
+    # * max_correction_bits(dictionary)) — resolve_error_correction() fills it
+    # in from the dictionary's minimum distance before the detector runs.
+    error_correction_bits: int | None = None
+    error_correction_rate: float = 0.6  # cv2 errorCorrectionRate default
     decode_samples: int = 5  # NxN samples per bit cell
     use_pallas_threshold: bool | None = None  # fused one-pass TPU kernel; None = auto (TPU yes)
     subpix_win: int = 5  # cornerSubPix half-window (cv2 winSize=(5,5))
@@ -120,11 +145,17 @@ def _box_mean(im, win: int):
     """Mean filter with replicate borders via integral images.
 
     ``win`` odd; matches cv.adaptiveThreshold's BORDER_REPLICATE boxFilter.
+    The integral image accumulates in int32: pixel values are integers
+    (uint8-derived), and a 720p f32 cumsum reaches ~2.4e8 where rounding is
+    ~±14 grey levels — larger than the threshold constant itself.  Integer
+    accumulation makes the box sums exact (and consistent with the Pallas
+    kernel, whose incremental sums stay below 2^24).
     """
     r = win // 2
     H, W = im.shape[-2:]
     padded = jnp.pad(im, [(0, 0)] * (im.ndim - 2) + [(r, r), (r, r)], mode="edge")
-    ii = jnp.cumsum(jnp.cumsum(padded, axis=-2), axis=-1)
+    acc = padded.astype(jnp.int32)
+    ii = jnp.cumsum(jnp.cumsum(acc, axis=-2), axis=-1)
     ii = jnp.pad(ii, [(0, 0)] * (im.ndim - 2) + [(1, 0), (1, 0)])
     s = (
         ii[..., win:, win:]
@@ -132,7 +163,7 @@ def _box_mean(im, win: int):
         - ii[..., win:, :-win]
         + ii[..., :-win, :-win]
     )
-    return s / (win * win)
+    return s.astype(im.dtype) / (win * win)
 
 
 def adaptive_threshold(gray, win: int, C: float):
@@ -481,6 +512,8 @@ def decode_quads(gray, quads, valid, table, n_bits: int, params: DetectorParams)
     """
     cells = n_bits + 2
     S = params.decode_samples
+    # strict matching unless a budget was resolved (resolve_error_correction)
+    ec_bits = params.error_correction_bits if params.error_correction_bits is not None else 0
     # sample offsets inside each cell (avoid cell edges)
     lin = (jnp.arange(S) + 0.5) / S
 
@@ -528,7 +561,7 @@ def decode_quads(gray, quads, valid, table, n_bits: int, params: DetectorParams)
             is_valid
             & border_ok
             & contrast_ok
-            & (best_dist <= params.error_correction_bits)
+            & (best_dist <= ec_bits)
         )
         # roll corners so index 0 = canonical top-left
         idx = (jnp.arange(4) + best_rot) % 4
@@ -583,10 +616,12 @@ def detect_markers(gray, table, n_bits: int, params: DetectorParams) -> Detectio
     # The threshold sweep differs only in the (static) window size; every
     # later stage runs batched over the window axis in ONE program — 7x fewer
     # dispatches and a much smaller XLA graph than a per-window loop.
-    if params.use_pallas_threshold:
+    if resolve_pallas(params):
         from .pallas.threshold import multi_threshold
 
-        fgs = multi_threshold(gray, params.win_sizes, params.thresh_const) > 0.5
+        Hp = -(-H // 8) * 8  # the kernel strips rows in groups of 8
+        g = jnp.pad(gray, ((0, Hp - H), (0, 0)), mode="edge") if Hp != H else gray
+        fgs = multi_threshold(g, params.win_sizes, params.thresh_const)[:, :H, :] > 0.5
     else:
         fgs = jnp.stack(
             [adaptive_threshold(gray, w, params.thresh_const) for w in params.win_sizes]

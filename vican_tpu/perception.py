@@ -2,20 +2,23 @@
 
 The reference fans one OpenCV pipeline per image over a multiprocessing pool
 (vican/cam.py:190-265).  Here the work splits by what each processor is good
-at:
+at, in one of three pipeline modes (auto-selected; see
+:func:`estimate_pose_batched`):
 
-- **Host**: JPEG decode, the reference's int16 preprocessing (cam.py:137-145),
-  the adaptive-threshold sweep (box filters), and connected-component quad
-  candidates via the C union-find kernel (_native/fastccl.c) — labeling is
-  irregular pointer-chasing where a CPU two-pass beats any dense-tensor
-  formulation by orders of magnitude.
-- **Device (one jitted program per batch)**: subpixel corner refinement,
-  homography bit sampling + dictionary matching, duplicate suppression, and
-  the full PnP chain (IPPE square -> LM -> reprojection error) with per-image
-  intrinsics — all batched dense numerics.
-
-A pure-device detection path also exists (:func:`vican_tpu.ops.detect.
-detect_markers`) and is used when the C kernel is unavailable.
+- ``"device"`` (default): the adaptive-threshold sweep (reference
+  cam.py:147 with params at cam.py:132-135) runs ON DEVICE — the fused
+  Pallas kernel on TPU, integral-image XLA elsewhere — emitting bit-packed
+  masks (W/8 bytes per row) that ship back for the C union-find quad
+  extractor (_native/fastccl.c).  Labeling is irregular pointer-chasing
+  where a CPU two-pass beats any dense-tensor formulation; everything else
+  (refine, decode, dedup, PnP) is a second fused device program.
+- ``"host"``: the round-1 hybrid — threshold via host box filters.  Kept for
+  hosts behind a slow device link (the packed-mask D2H is ~W*H/8 bytes per
+  window per image).
+- ``"pure"``: no native kernel available (``VICAN_TPU_NO_NATIVE=1`` or no C
+  toolchain) — the whole detection pipeline, including connected components,
+  runs as one jitted device program (:func:`vican_tpu.ops.detect.
+  detect_markers`).
 
 Corner convention note: corners are the *physical* marker boundary (intensity
 transition midpoint).  OpenCV's detector reports quads translated by
@@ -24,6 +27,7 @@ corners land ~4x closer to ground truth (see tests/test_detect.py).
 """
 from __future__ import annotations
 
+import os
 from typing import Iterable
 
 import numpy as np
@@ -32,7 +36,13 @@ from .cam import Camera, gen_marker_uid
 from .geometry import SE3
 from .utils.registry import CORNER_REFINE, PNP_FLAGS, resolve
 
-__all__ = ["estimate_pose_batched", "load_images", "host_preprocess", "host_candidates"]
+__all__ = [
+    "estimate_pose_batched",
+    "load_images",
+    "host_preprocess",
+    "host_candidates",
+    "quads_from_masks",
+]
 
 
 def load_images(filenames: Iterable[str]) -> np.ndarray:
@@ -99,34 +109,33 @@ def _quad_gates(quads: np.ndarray, areas: np.ndarray, H: int, W: int, params) ->
     )
 
 
-def host_candidates(gray: np.ndarray, params) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Threshold sweep + C CCL quad candidates for a (B, H, W) uint8 batch.
-
-    Returns ``(quads (B, Q, 4, 2) float32, valid (B, Q) bool, areas)`` with
-    ``Q = len(win_sizes) * max_candidates``; quads are clockwise-wound.
-    """
-    import cv2 as cv
-
+def _get_ccl():
     from ._native import get_fastccl
 
-    ccl = get_fastccl()
+    return get_fastccl()
+
+
+def quads_from_masks(fg: np.ndarray, params) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """C union-find quad candidates from a (B, Wn, H, W) foreground batch.
+
+    Returns ``(quads (B, Q, 4, 2) float32, valid (B, Q) bool, areas)`` with
+    ``Q = Wn * max_candidates``; quads are clockwise-wound and gated.
+    """
+    ccl = _get_ccl()
     if ccl is None:
         raise RuntimeError("fastccl unavailable; use the pure-device detect path")
 
-    B, H, W = gray.shape
+    B, Wn, H, W = fg.shape
     K = params.max_candidates
-    Wn = len(params.win_sizes)
     quads = np.zeros((B, Wn * K, 4, 2), np.float32)
     areas = np.zeros((B, Wn * K), np.float32)
     valid = np.zeros((B, Wn * K), bool)
     max_area = params.max_area_rate * H * W
     for b in range(B):
-        g = gray[b]
-        for wi, win in enumerate(params.win_sizes):
-            mean = cv.boxFilter(g, cv.CV_32F, (win, win), borderType=cv.BORDER_REPLICATE)
-            fg = (g.astype(np.float32) <= mean - params.thresh_const).astype(np.uint8)
+        for wi in range(Wn):
             c_bytes, a_bytes, cnt = ccl.quad_candidates(
-                np.ascontiguousarray(fg), H, W, K, params.min_area, max_area
+                np.ascontiguousarray(fg[b, wi], dtype=np.uint8), H, W, K,
+                params.min_area, max_area,
             )
             q = np.frombuffer(c_bytes, np.float32).reshape(K, 4, 2)
             a = np.frombuffer(a_bytes, np.int32)
@@ -146,6 +155,25 @@ def host_candidates(gray: np.ndarray, params) -> tuple[np.ndarray, np.ndarray, n
     return quads, valid, areas
 
 
+def host_candidates(gray: np.ndarray, params) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Host-threshold path: box-filter sweep + C CCL for a (B, H, W) batch.
+
+    The ``"host"`` pipeline mode — used when the device link is too slow for
+    the packed-mask round trip (the default mode thresholds on device).
+    """
+    import cv2 as cv
+
+    B, H, W = gray.shape
+    Wn = len(params.win_sizes)
+    fg = np.zeros((B, Wn, H, W), np.uint8)
+    for b in range(B):
+        g = gray[b]
+        for wi, win in enumerate(params.win_sizes):
+            mean = cv.boxFilter(g, cv.CV_32F, (win, win), borderType=cv.BORDER_REPLICATE)
+            fg[b, wi] = g.astype(np.float32) <= mean - params.thresh_const
+    return quads_from_masks(fg, params)
+
+
 _PIPELINE_CACHE: dict = {}
 
 
@@ -155,19 +183,95 @@ def _get_pipeline(key, builder):
     return _PIPELINE_CACHE[key]
 
 
-def _build_hybrid(B, Q, n_bits, params, lm_iters, marker_size):
+def _build_threshold(B, H, W, params, use_pallas):
+    """Device program: preprocessed gray batch -> bit-packed threshold masks.
+
+    Returns ``(packed (B, Wn, H, ceil(W/8)) uint8, gray_f32 (B, H, W))`` —
+    the float gray stays device-resident for the detection program, so the
+    frame crosses the host link exactly once in each direction (uint8 up,
+    W/8 packed mask bytes per window down).
+    """
     import jax
     import jax.numpy as jnp
 
     from .ops import detect as D_
+
+    Wn = len(params.win_sizes)
+    Wp = -(-W // 8) * 8
+    Hp = -(-H // 8) * 8
+
+    @jax.jit
+    def run(gray_u8):
+        gray = gray_u8.astype(jnp.float32)
+        if use_pallas:
+            from .ops.pallas.threshold import multi_threshold
+
+            def one(g):
+                gp = jnp.pad(g, ((0, Hp - H), (0, 0)), mode="edge") if Hp != H else g
+                return multi_threshold(gp, params.win_sizes, params.thresh_const)[:, :H, :] > 0.5
+
+            # lax.map, not vmap: pallas_call ANY-space operands can't batch
+            fgs = jax.lax.map(one, gray)
+        else:
+            fgs = jax.vmap(
+                lambda g: jnp.stack(
+                    [D_.adaptive_threshold(g, w, params.thresh_const) for w in params.win_sizes]
+                )
+            )(gray)
+        if Wp != W:
+            fgs = jnp.pad(fgs, ((0, 0), (0, 0), (0, 0), (0, Wp - W)))
+        # bit-pack along W, little-endian within bytes (np.unpackbits order)
+        bits = fgs.reshape(B, Wn, H, Wp // 8, 8)
+        weights = jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128], jnp.int32)
+        packed = jnp.sum(bits.astype(jnp.int32) * weights, axis=-1).astype(jnp.uint8)
+        return packed, gray
+
+    return run
+
+
+def _pnp_block(B, params, lm_iters, marker_size):
+    """Shared tail: detections -> (R, t, reprojection error) per slot."""
+    import jax
+    import jax.numpy as jnp
+
     from .ops import pnp as P_
 
     D = params.max_detections
 
+    def run(det_corners, det_ids, det_ok, Ks, dists):
+        corners = det_corners.reshape(B * D, 4, 2)
+        ids = det_ids.reshape(B * D)
+        ok = det_ok.reshape(B * D)
+        im_of = jnp.repeat(jnp.arange(B), D)
+
+        def solve(c, K, dist):
+            return P_.solve_marker_pose(c, K, dist, marker_size, lm_iters=lm_iters)
+
+        R, t, err = jax.vmap(solve)(corners, Ks[im_of], dists[im_of])
+        finite = (
+            jnp.isfinite(err)
+            & jnp.all(jnp.isfinite(R), axis=(1, 2))
+            & jnp.all(jnp.isfinite(t), axis=1)
+        )
+        return corners, ids, ok & finite, R, t, err
+
+    return run
+
+
+def _build_hybrid(B, Q, n_bits, params, lm_iters, marker_size):
+    """Device program: refine + decode + dedup + PnP from host quad candidates."""
+    import jax
+    import jax.numpy as jnp
+
+    from .ops import detect as D_
+
+    D = params.max_detections
+    pnp = _pnp_block(B, params, lm_iters, marker_size)
+
     @jax.jit
-    def run(gray_u8, quads, valid, areas, Ks, dists, table):
+    def run(gray_in, quads, valid, areas, Ks, dists, table):
         with jax.default_matmul_precision("highest"):
-            gray = gray_u8.astype(jnp.float32)
+            gray = gray_in.astype(jnp.float32)
 
             def per_image(g, q, v, a):
                 refined = jax.vmap(lambda qq: D_.refine_quad(g, qq, params))(q)
@@ -177,24 +281,49 @@ def _build_hybrid(B, Q, n_bits, params, lm_iters, marker_size):
                 return D_.dedup_and_compact(corners, ids, ok, a, params)
 
             det = jax.vmap(per_image)(gray, quads, valid, areas)
-
-            corners = det.corners.reshape(B * D, 4, 2)
-            ids = det.ids.reshape(B * D)
-            ok = det.valid.reshape(B * D)
-            im_of = jnp.repeat(jnp.arange(B), D)
-
-            def solve(c, K, dist):
-                return P_.solve_marker_pose(c, K, dist, marker_size, lm_iters=lm_iters)
-
-            R, t, err = jax.vmap(solve)(corners, Ks[im_of], dists[im_of])
-            finite = (
-                jnp.isfinite(err)
-                & jnp.all(jnp.isfinite(R), axis=(1, 2))
-                & jnp.all(jnp.isfinite(t), axis=1)
-            )
-            return corners, ids, ok & finite, R, t, err
+            return pnp(det.corners, det.ids, det.valid, Ks, dists)
 
     return run
+
+
+def _build_pure_device(B, n_bits, params, lm_iters, marker_size):
+    """Device program: the FULL detection pipeline (threshold, CCL, quads,
+    refine, decode, dedup) + PnP — no native kernels anywhere.
+
+    Used when fastccl is unavailable (``VICAN_TPU_NO_NATIVE=1`` or no C
+    toolchain).  The Pallas threshold is forced off: ``detect_markers`` is
+    vmapped over the batch here and ANY-space pallas operands cannot batch.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .ops import detect as D_
+
+    params = params._replace(use_pallas_threshold=False)
+    pnp = _pnp_block(B, params, lm_iters, marker_size)
+
+    @jax.jit
+    def run(gray_u8, Ks, dists, table):
+        with jax.default_matmul_precision("highest"):
+            gray = gray_u8.astype(jnp.float32)
+            det = jax.vmap(lambda g: D_.detect_markers(g, table, n_bits, params))(gray)
+            return pnp(det.corners, det.ids, det.valid, Ks, dists)
+
+    return run
+
+
+def _resolve_mode(pipeline_mode: str) -> str:
+    mode = os.environ.get("VICAN_TPU_PERCEPTION_MODE", pipeline_mode)
+    if mode == "auto":
+        return "device" if _get_ccl() is not None else "pure"
+    if mode not in ("device", "host", "pure"):
+        raise ValueError(f"unknown perception pipeline mode: {mode!r}")
+    if mode in ("device", "host") and _get_ccl() is None:
+        import warnings
+
+        warnings.warn("fastccl unavailable; falling back to the pure-device path")
+        return "pure"
+    return mode
 
 
 def estimate_pose_batched(
@@ -210,13 +339,20 @@ def estimate_pose_batched(
     lm_iters: int = 20,
     detector_params=None,
     mesh=None,
+    pipeline_mode: str = "auto",
     verbose: bool = True,
 ) -> dict:
-    """Run the hybrid perception pipeline over all images.
+    """Run the perception pipeline over all images.
 
     ``mesh``: optional ``jax.sharding.Mesh`` — the batch axis of the device
-    program is sharded across its first axis (data parallelism over images,
+    programs is sharded across its first axis (data parallelism over images,
     SURVEY.md §2.3; the reference fans out a multiprocessing pool instead).
+
+    ``pipeline_mode``: ``"auto"`` (device thresholding when the C quad
+    extractor is available, else pure-device), ``"device"``, ``"host"``, or
+    ``"pure"`` — see the module docstring.  Env override:
+    ``VICAN_TPU_PERCEPTION_MODE``.
+
     Returns the reference edge dict (cam.py:120-124 schema).
     """
     import jax.numpy as jnp
@@ -231,13 +367,29 @@ def estimate_pose_batched(
 
     params = detector_params or D_.DetectorParams()
     params = params._replace(corner_refine=refine_kind)
+    params = D_.resolve_error_correction(params, aruco)
+    mode = _resolve_mode(pipeline_mode)
 
     out: dict = {}
     B = batch_size
+    Wn = len(params.win_sizes)
     total_det = 0
 
+    def shard(arrays):
+        """Put host arrays on device, batch-sharded over the mesh if given."""
+        if mesh is None:
+            return [jnp.asarray(a) for a in arrays]
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        axis = mesh.axis_names[0]
+        return [
+            jax.device_put(a, NamedSharding(mesh, P(axis, *([None] * (np.ndim(a) - 1)))))
+            for a in arrays
+        ]
+
     def prepare(start):
-        """Host stage: decode, preprocess, candidate extraction."""
+        """Host stage: decode + preprocess + per-camera intrinsics."""
         batch_files = im_filenames[start : start + B]
         batch_cams = cams[start : start + B]
         images = load_images(batch_files)
@@ -246,7 +398,6 @@ def estimate_pose_batched(
             images = np.concatenate([images, np.repeat(images[-1:], B - nb, axis=0)])
             batch_cams = batch_cams + [batch_cams[-1]] * (B - nb)
         gray = host_preprocess(images, float(brightness), float(contrast))
-        quads, valid, areas = host_candidates(gray, params)
         Ks = np.stack([np.asarray(c.intrinsics, np.float32) for c in batch_cams])
         dists = np.stack(
             [
@@ -254,30 +405,70 @@ def estimate_pose_batched(
                 for c in batch_cams
             ]
         )
-        return batch_files, batch_cams, nb, gray, quads, valid, areas, Ks, dists
+        return batch_files, batch_cams, nb, gray, Ks, dists
 
-    def dispatch(prep):
-        """Device stage: returns unfetched device arrays (async)."""
-        batch_files, batch_cams, nb, gray, quads, valid, areas, Ks, dists = prep
-        H, W = gray.shape[1:3]
+    def dispatch_detect(meta, gray_dev, quads, valid, areas, Ks, dists):
+        """Device stage D: refine/decode/dedup/PnP (async)."""
+        batch_files, batch_cams, nb = meta
+        H, W = gray_dev.shape[1:3]
         Q = quads.shape[1]
         run = _get_pipeline(
             ("hybrid", H, W, B, Q, n_bits, params, lm_iters, float(marker_size)),
             lambda: _build_hybrid(B, Q, n_bits, params, lm_iters, float(marker_size)),
         )
-        dev_args = [gray, quads, valid, areas, Ks, dists]
-        if mesh is not None:
-            import jax
-            from jax.sharding import NamedSharding, PartitionSpec as P
+        dev = shard([quads, valid, areas, Ks, dists])
+        return (batch_files, batch_cams, nb, run(gray_dev, *dev, table))
 
-            axis = mesh.axis_names[0]
-            dev_args = [
-                jax.device_put(a, NamedSharding(mesh, P(axis, *([None] * (np.ndim(a) - 1)))))
-                for a in dev_args
-            ]
-        else:
-            dev_args = [jnp.asarray(a) for a in dev_args]
-        return (batch_files, batch_cams, nb, run(*dev_args, table))
+    # --- per-mode batch stages ------------------------------------------
+    if mode == "device":
+        use_pallas = D_.resolve_pallas(params)
+
+        def stage_threshold(prep):
+            """Dispatch the device threshold program (async)."""
+            batch_files, batch_cams, nb, gray, Ks, dists = prep
+            H, W = gray.shape[1:3]
+            run = _get_pipeline(
+                ("thresh", H, W, B, params, use_pallas),
+                lambda: _build_threshold(B, H, W, params, use_pallas),
+            )
+            (gray_dev,) = shard([gray])
+            packed, gray_f32 = run(gray_dev)
+            return ((batch_files, batch_cams, nb), packed, gray_f32, Ks, dists, W)
+
+        def stage_ccl(handle):
+            """Fetch packed masks (sync), extract quads in C, dispatch D."""
+            meta, packed, gray_f32, Ks, dists, W = handle
+            masks = np.unpackbits(np.asarray(packed), axis=-1, bitorder="little")
+            fg = masks[..., :W]
+            quads, valid, areas = quads_from_masks(fg, params)
+            return dispatch_detect(meta, gray_f32, quads, valid, areas, Ks, dists)
+
+    elif mode == "host":
+
+        def stage_threshold(prep):
+            batch_files, batch_cams, nb, gray, Ks, dists = prep
+            quads, valid, areas = host_candidates(gray, params)
+            (gray_dev,) = shard([gray])
+            return ((batch_files, batch_cams, nb), gray_dev, quads, valid, areas, Ks, dists)
+
+        def stage_ccl(handle):
+            meta, gray_dev, quads, valid, areas, Ks, dists = handle
+            return dispatch_detect(meta, gray_dev, quads, valid, areas, Ks, dists)
+
+    else:  # "pure"
+
+        def stage_threshold(prep):
+            batch_files, batch_cams, nb, gray, Ks, dists = prep
+            run = _get_pipeline(
+                ("pure", gray.shape[1], gray.shape[2], B, n_bits, params, lm_iters,
+                 float(marker_size)),
+                lambda: _build_pure_device(B, n_bits, params, lm_iters, float(marker_size)),
+            )
+            gray_dev, Ks_d, dists_d = shard([gray, Ks, dists])
+            return (batch_files, batch_cams, nb, run(gray_dev, Ks_d, dists_d, table))
+
+        def stage_ccl(handle):
+            return handle  # the single program did everything
 
     def consume(handle, batch_index):
         """Fetch + unpack one batch's results into the edge dict."""
@@ -309,17 +500,27 @@ def estimate_pose_batched(
         if verbose:
             print(f"  batch {batch_index}: {nb} images, {int(ok[: nb * Dcap].sum())} detections")
 
-    # Software pipeline: while the device chews on batch N, the host decodes
-    # and extracts candidates for batch N+1 (dispatch is async; the fetch in
-    # consume() is the only sync point).
-    pending = None
+    # Software pipeline, two batches in flight: while the device thresholds
+    # batch N+1 and detects batch N, the host decodes batch N+2 and extracts
+    # quad candidates for batch N (dispatches are async; the packed-mask and
+    # final fetches are the only sync points).
+    pending_t = None  # threshold dispatched, CCL pending
+    pending_d = None  # detection dispatched, fetch pending
     for bi, start in enumerate(range(0, len(im_filenames), B)):
-        handle = dispatch(prepare(start))
-        if pending is not None:
-            consume(*pending)
-        pending = (handle, bi)
-    if pending is not None:
-        consume(*pending)
+        handle_t = stage_threshold(prepare(start))
+        if pending_t is not None:
+            handle_d = stage_ccl(pending_t[0])
+            if pending_d is not None:
+                consume(*pending_d)
+            pending_d = (handle_d, pending_t[1])
+        pending_t = (handle_t, bi)
+    if pending_t is not None:
+        handle_d = stage_ccl(pending_t[0])
+        if pending_d is not None:
+            consume(*pending_d)
+        pending_d = (handle_d, pending_t[1])
+    if pending_d is not None:
+        consume(*pending_d)
     if verbose:
         n_images = len({v["im_filename"] for v in out.values()})
         print(f"Found markers in {n_images} images ({total_det} detections).")

@@ -64,6 +64,7 @@ def detect_and_draw(
     params = D_.DetectorParams()._replace(
         corner_refine=resolve(CORNER_REFINE, corner_refine, "corner_refine")
     )
+    params = D_.resolve_error_correction(params, aruco)
     gray = D_.preprocess(jnp.asarray(im), brightness, contrast)
     out = D_.detect_markers(gray, table, n_bits, params)
 

@@ -97,11 +97,22 @@ def render_image(
 
     ``marker_world``: {id: SE3 marker->world}; ``marker_images``: {id: uint8
     square marker bitmap}.  Returns uint8 (H, W, 3) BGR.
+
+    Lens distortion: marker corners are projected through the camera's full
+    OpenCV distortion model (the 12-coefficient rational/thin-prism set the
+    datasets use — reference render.py:293, vican/cam.py:31-32), so detected
+    corners land where a real distorted camera would put them.  The marker
+    interior is homography-warped between those corners — edge bowing inside
+    a single marker is second-order for markers small relative to the
+    distortion scale, and corner positions are what drive PnP.
     """
     import cv2 as cv
 
     W, H = cam.resolution_x, cam.resolution_y
     K = np.asarray(cam.intrinsics, np.float64)
+    dist = np.zeros(12) if cam.distortion is None else np.atleast_1d(
+        np.asarray(cam.distortion, np.float64)
+    )
     img = np.full((H, W), background, np.uint8)
     cam_inv = cam.extrinsics.inv()
 
@@ -125,8 +136,9 @@ def render_image(
         pts_c = corners_m @ Rmc.T + tmc
         if (pts_c[:, 2] <= 0.05).any():
             continue
-        proj = (pts_c @ K.T)
-        proj = proj[:, :2] / proj[:, 2:]
+        rvec, _ = cv.Rodrigues(Rmc)
+        proj, _ = cv.projectPoints(corners_m, rvec, tmc.reshape(3, 1), K, dist)
+        proj = proj.reshape(4, 2)
         if (proj[:, 0] < -50).all() or (proj[:, 0] > W + 50).all():
             continue
         tile = marker_images[mid]
@@ -184,7 +196,10 @@ def render_dataset(
         K = np.asarray(cam.intrinsics, float)
         cams_json[cid] = {
             "fx": K[0, 0], "fy": K[1, 1], "cx": K[0, 2], "cy": K[1, 2],
-            "distortion": np.zeros(12).tolist(),
+            "distortion": (
+                np.zeros(12) if cam.distortion is None
+                else np.atleast_1d(np.asarray(cam.distortion, float))
+            ).tolist(),
             "R": np.asarray(cam.extrinsics.R(), float).tolist(),
             "t": np.asarray(cam.extrinsics.t(), float).tolist(),
             "resolution_x": cam.resolution_x,
