@@ -35,7 +35,10 @@ def test_c_and_python_packers_agree(prob, monkeypatch):
     np.testing.assert_array_equal(p_c.cam_idx, p_py.cam_idx)
     np.testing.assert_array_equal(p_c.time_idx, p_py.time_idx)
     np.testing.assert_array_equal(p_c.marker_idx, p_py.marker_idx)
-    np.testing.assert_allclose(p_c.R_e, p_py.R_e, atol=1e-7)
+    # the C packer converts to quaternions from the raw f64 pose while the
+    # Python path stages through f32 matrices first — both reconstruct R_e
+    # from f32 quaternions, so they agree to f32 rounding, not exactly
+    np.testing.assert_allclose(p_c.R_e, p_py.R_e, atol=1e-6)
     np.testing.assert_allclose(p_c.t_e, p_py.t_e, atol=1e-7)
     np.testing.assert_allclose(p_c.k_r, p_py.k_r, atol=1e-6)
     np.testing.assert_allclose(p_c.k_t, p_py.k_t, atol=1e-6)

@@ -101,3 +101,27 @@ def test_perception_mesh_matches_single(tmp_path):
     assert set(single.keys()) == set(sharded.keys())
     for k in single:
         assert np.allclose(single[k]["pose"].t(), sharded[k]["pose"].t(), atol=1e-5)
+
+
+def test_global_mesh_and_distributed_hook():
+    """Multi-host hook surface: global_mesh spans all (virtual) devices and
+    init_distributed no-ops when the runtime is already initialized."""
+    import jax
+
+    from vican_tpu.parallel import global_mesh, init_distributed
+
+    m = global_mesh()
+    assert m.axis_names == ("edges",)
+    assert m.devices.size == len(jax.devices())
+    # guard path: pretend the runtime is up; the call must be a no-op
+    import jax._src.distributed as dist
+
+    class _Fake:
+        client = object()
+
+    orig = dist.global_state
+    dist.global_state = _Fake()
+    try:
+        init_distributed()  # must not reach jax.distributed.initialize
+    finally:
+        dist.global_state = orig

@@ -98,11 +98,12 @@ def large_bipartite_so3sync(
 
     dtype = _solver_dtype(dtype)
     tm = PhaseTimer(verbose=verbose)
-    tm.log(
-        "Received graph with {} nodes {} edges".format(
-            len({n for e in src_edges for n in e}), len(src_edges)
+    if verbose:  # the node-count set over 2E keys is pure logging cost
+        tm.log(
+            "Received graph with {} nodes {} edges".format(
+                len({n for e in src_edges for n in e}), len(src_edges)
+            )
         )
-    )
     with tm.phase("Applying constraints"):
         packed = pack_problem(
             src_edges, constraints, noise_model, lambda e: 1.0, edge_filter, dtype=dtype
@@ -329,11 +330,12 @@ def bipartite_se3sync(
     requested = np.dtype(dtype)
     dtype = _solver_dtype(dtype)
     tm = PhaseTimer(verbose=verbose)
-    tm.log(
-        "Received graph with {} nodes {} edges".format(
-            len({n for e in src_edges for n in e}), len(src_edges)
+    if verbose:  # the node-count set over 2E keys is pure logging cost
+        tm.log(
+            "Received graph with {} nodes {} edges".format(
+                len({n for e in src_edges for n in e}), len(src_edges)
+            )
         )
-    )
     with tm.phase("Applying constraints"):
         packed = pack_problem(
             src_edges, constraints, noise_model_r, noise_model_t, edge_filter, dtype=dtype
@@ -351,7 +353,11 @@ def bipartite_se3sync(
             packed, dtype, maxiter, lsqr_solver, tm, verbose, mesh=mesh
         )
 
-    arrs = _device_arrays(packed, dtype)
+    # The fused CG path ships packed.edata/eidx directly; the other branches
+    # use per-field device arrays.
+    arrs = None
+    if not (lsqr_solver == "conjugate_gradient" and packed.has_quats):
+        arrs = _device_arrays(packed, dtype)
 
     # Reference-grade f64: when the caller asked for float64 but the device
     # computes f32 (TPU), the translation stage runs on the host in f64 —
@@ -379,6 +385,8 @@ def bipartite_se3sync(
         )
 
     if host_f64_translations:
+        if arrs is None:
+            arrs = _device_arrays(packed, dtype)
         with tm.phase("Optimizing (device) + solving (host f64)") as ev:
             with jax.default_matmul_precision("highest"):
                 KR = _core.fold_constraints(
@@ -413,7 +421,50 @@ def bipartite_se3sync(
     with tm.phase("Optimizing + solving (fused device program)") as ev:
         with jax.default_matmul_precision("highest"):
             poses44 = None
-            if lsqr_solver == "conjugate_gradient":
+            out_packed = None
+            if lsqr_solver == "conjugate_gradient" and packed.has_quats:
+                # Fastest path: poses + CG residual come back in ONE D2H
+                # fetch; the per-edge problem goes up in ONE H2D transfer
+                # when the node indices fit a 31-bit field (bitcast into the
+                # f32 buffer), else two.
+                M = len(packed.marker_ids)
+                mb = max((M - 1).bit_length(), 1)
+                tb = max((T - 1).bit_length(), 1)
+                cb = max((C - 1).bit_length(), 1)
+                kw = dict(
+                    root_idx=packed.root_idx, C=C, T=T,
+                    maxiter=jnp.asarray(maxiter, jnp.int32),
+                    cert_tol=1e-6 / packed.k_r_scale,
+                )
+                R_con_d = jnp.asarray(packed.R_con, dtype)
+                t_con_d = jnp.asarray(packed.t_con, dtype)
+                if np.dtype(dtype) == np.float32 and cb + tb + mb <= 31:
+                    # 32-byte/edge wire format (see core.se3sync_wire)
+                    E = packed.num_edges
+                    wire = np.empty((E, 8), np.float32)
+                    qi = np.clip(
+                        np.round(np.ascontiguousarray(packed.edata[:, :4]) * 32767.0),
+                        -32767, 32767,
+                    ).astype(np.int16)
+                    wire[:, 0:2] = qi.view(np.float32)
+                    wire[:, 2:7] = packed.edata[:, 4:9]
+                    iv = (
+                        (packed.eidx[:, 0].astype(np.int64) << (tb + mb))
+                        | (packed.eidx[:, 1].astype(np.int64) << mb)
+                        | packed.eidx[:, 2]
+                    ).astype(np.int32)
+                    wire[:, 7] = iv.view(np.float32)
+                    result, fused_out = _core.se3sync_wire(
+                        jnp.asarray(wire), R_con_d, t_con_d, **kw
+                    )
+                else:
+                    result, fused_out = _core.se3sync_fused(
+                        jnp.asarray(packed.edata, dtype), jnp.asarray(packed.eidx),
+                        R_con_d, t_con_d, **kw
+                    )
+                out_packed = np.asarray(fused_out)
+                res = out_packed[C + T, 0]
+            elif lsqr_solver == "conjugate_gradient":
                 result, poses44, res = _core.se3sync_full(
                     arrs["R_e"], arrs["t_e"], arrs["k_r"], arrs["k_t"],
                     arrs["cam_idx"], arrs["time_idx"], arrs["marker_idx"],
@@ -442,7 +493,8 @@ def bipartite_se3sync(
                 )
             else:
                 raise ValueError(f"unknown lsqr_solver: {lsqr_solver!r}")
-        ev["sync"] = (result, poses44 if poses44 is not None else t_est)
+        ev["sync"] = (result, out_packed if out_packed is not None
+                      else (poses44 if poses44 is not None else t_est))
     if verbose:
         tm.log(
             "Iterations: {}  evals: {}  eigengap: {:1.3e}".format(
@@ -454,11 +506,24 @@ def bipartite_se3sync(
         warnings.warn(f"translation solve residual {res:.3e} (poorly converged)")
 
     out = {}
-    if poses44 is not None:
+    if out_packed is not None:
+        # rebuild (N, 4, 4) poses from the packed [R|t] rows on host (cheap)
+        # and hand out zero-copy SE3 views (keeps the solver dtype; a float32
+        # cast through the pose= ctor would cap rotation accuracy at ~0.02
+        # deg via arccos cancellation).
+        N = C + T
+        p12 = out_packed[:N]
+        poses = np.zeros((N, 4, 4), p12.dtype)
+        poses[:, :3, :3] = p12[:, :9].reshape(N, 3, 3)
+        poses[:, :3, 3] = p12[:, 9:]
+        poses[:, 3, 3] = 1.0
+        from_pose = SE3._from_pose_view
+        for i, c in enumerate(packed.cam_ids):
+            out[c] = from_pose(poses[i])
+        for j, t in enumerate(packed.time_ids):
+            out[t + "_0"] = from_pose(poses[C + j])
+    elif poses44 is not None:
         poses44 = np.asarray(poses44)
-        # zero-copy views keep the solver dtype (a float32 cast through the
-        # pose= ctor would cap rotation accuracy at ~0.02 deg via arccos
-        # cancellation) and skip 10k+ per-node allocations.
         from_pose = SE3._from_pose_view
         for i, c in enumerate(packed.cam_ids):
             out[c] = from_pose(poses44[i])

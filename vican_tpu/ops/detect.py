@@ -119,6 +119,9 @@ class DetectorParams(NamedTuple):
     subpix_win: int = 5  # cornerSubPix half-window (cv2 winSize=(5,5))
     subpix_iters: int = 50  # cornerRefinementMaxIterations (cam.py:133)
     subpix_acc: float = 0.05  # cornerRefinementMinAccuracy (cam.py:131)
+    min_cell_contrast: float = 20.0  # grey levels between darkest/brightest cell means
+    refine_clamp_px: float = 4.0  # reject refinements moving a corner farther
+    dedup_radius_rate: float = 0.5  # x min quad edge length: duplicate-center radius
 
 
 def preprocess(im, brightness: float = 0.0, contrast: float = 0.0):
@@ -397,7 +400,7 @@ def refine_corners(gray, quad, params: DetectorParams):
     refined = jax.vmap(intersect)(jnp.arange(4))
     # reject refinements that moved corners implausibly far
     dist = jnp.linalg.norm(refined - quad, axis=1)
-    return jnp.where((dist < 4.0)[:, None], refined, quad)
+    return jnp.where((dist < params.refine_clamp_px)[:, None], refined, quad)
 
 
 def refine_corners_subpix(gray, quad, params: DetectorParams):
@@ -447,7 +450,7 @@ def refine_corners_subpix(gray, quad, params: DetectorParams):
         _, q, _ = lax.while_loop(cond, body, init)
         # reject refinements that wandered implausibly far (same clamp as
         # the apriltag path)
-        return jnp.where(jnp.linalg.norm(q - q0) < 4.0, q, q0)
+        return jnp.where(jnp.linalg.norm(q - q0) < params.refine_clamp_px, q, q0)
 
     return jax.vmap(one)(quad)
 
@@ -549,7 +552,7 @@ def decode_quads(gray, quads, valid, table, n_bits: int, params: DetectorParams)
         max_border_errs = jnp.floor(params.max_border_err_rate * (4 * cells - 4))
         border_ok = border_errs <= max_border_errs
         # contrast gate: a real marker has distinctly dark border cells
-        contrast_ok = (means.max() - means.min()) > 20.0
+        contrast_ok = (means.max() - means.min()) > params.min_cell_contrast
 
         inner = bits[1:-1, 1:-1].reshape(-1)  # (n_bits^2,) row-major
         dists = jnp.sum(inner[None, None, :] != table, axis=-1)  # (size, 4)
@@ -588,7 +591,7 @@ def dedup_and_compact(corners, ids, ok, area, params: DetectorParams) -> Detecti
     centers = corners.mean(axis=1)
     d2 = jnp.sum((centers[:, None, :] - centers[None, :, :]) ** 2, axis=-1)
     edge = jnp.sqrt(jnp.maximum(area, 1.0))  # ~ quad edge length
-    close = d2 < (0.5 * jnp.minimum(edge[:, None], edge[None, :])) ** 2
+    close = d2 < (params.dedup_radius_rate * jnp.minimum(edge[:, None], edge[None, :])) ** 2
     better = (area[None, :] > area[:, None]) | (
         (area[None, :] == area[:, None])
         & (jnp.arange(len(area))[None, :] < jnp.arange(len(area))[:, None])

@@ -52,6 +52,8 @@ __all__ = [
     "fold_constraints",
     "so3_sync",
     "se3sync_full",
+    "se3sync_fused",
+    "se3sync_wire",
     "translation_rhs",
     "solve_translations_cg",
     "solve_translations_lsqr",
@@ -331,6 +333,102 @@ def se3sync_full(
     poses = poses.at[C:, :3, :3].set(result.r_time)
     poses = poses.at[:, :3, 3].set(t_est)
     return result, poses, res
+
+
+@partial(jax.jit, static_argnames=("C", "T"))
+def se3sync_wire(
+    wire,
+    R_con,
+    t_con,
+    *,
+    root_idx,
+    C: int,
+    T: int,
+    maxiter,
+    cg_tol=1e-5,
+    cert_tol=1e-6,
+):
+    """se3sync from ONE wire buffer — the minimum-transfer entry point.
+
+    ``wire (E, 8)`` float32, 32 bytes/edge:
+
+      cols 0-1  unit quaternion as 4 x int16 (q * 32767), bitcast — the
+                quantization adds ~4e-5 rad of rotation noise, two orders
+                below the 1e-3 parity budget, for 8 fewer bytes per edge
+      cols 2-4  translation (f32)
+      cols 5-6  k_r, k_t weights (f32, pre-normalized)
+      col  7    bit-packed ``(cam << (tb+mb)) | (time << mb) | marker``
+                int32 bitcast (``tb/mb`` = bit widths of T and the marker
+                count, static at trace time)
+
+    A single H2D transfer carries the whole per-edge problem; a single D2H
+    fetch returns poses + residual (see :func:`se3sync_fused`).
+    """
+    E = wire.shape[0]
+    qi = lax.bitcast_convert_type(wire[:, 0:2], jnp.int16).reshape(E, 4)
+    q_e = qi.astype(wire.dtype) * (1.0 / 32767.0)  # re-normalized in quat_to_mat
+    edata = jnp.concatenate([q_e, wire[:, 2:7]], axis=1)
+    iv = lax.bitcast_convert_type(wire[:, 7], jnp.int32)
+    M = R_con.shape[0]
+    mb = max(int(M - 1).bit_length(), 1)
+    tb = max(int(T - 1).bit_length(), 1)
+    marker_idx = iv & ((1 << mb) - 1)
+    time_idx = (iv >> mb) & ((1 << tb) - 1)
+    cam_idx = iv >> (mb + tb)
+    eidx = jnp.stack([cam_idx, time_idx, marker_idx], axis=1)
+    return se3sync_fused(
+        edata, eidx, R_con, t_con, root_idx=root_idx, C=C, T=T,
+        maxiter=maxiter, cg_tol=cg_tol, cert_tol=cert_tol,
+    )
+
+
+@partial(jax.jit, static_argnames=("C", "T"))
+def se3sync_fused(
+    edata,
+    eidx,
+    R_con,
+    t_con,
+    *,
+    root_idx,
+    C: int,
+    T: int,
+    maxiter,
+    cg_tol=1e-5,
+    cert_tol=1e-6,
+):
+    """se3sync from the fused host buffers, minimal-transfer in AND out.
+
+    ``edata (E, 9)`` = ``[q(4) | t(3) | k_r | k_t]``, ``eidx (E, 3)`` =
+    ``[cam, time, marker]`` — the exact layout fastpack.c emits, so the whole
+    per-edge problem crosses the host link in TWO transfers instead of seven
+    (each dispatch chain costs ~26 ms of round-trip on a remote-tunnel host).
+
+    Returns ``(SyncResult, out (C+T+1, 12))`` where rows ``[:C+T]`` hold
+    ``[R.flatten() | t]`` world-frame poses (cameras then times) and row
+    ``C+T`` carries the CG relative residual in column 0 — one packed D2H
+    fetch delivers poses AND the convergence diagnostic.
+    """
+    q_e = edata[:, :4]
+    t_e = edata[:, 4:7]
+    k_r = edata[:, 7]
+    k_t = edata[:, 8]
+    cam_idx, time_idx, marker_idx = eidx[:, 0], eidx[:, 1], eidx[:, 2]
+    KR = fold_constraints(q_e, k_r, marker_idx, R_con, root_idx)
+    result = so3_sync(
+        KR, k_r, cam_idx, time_idx, C=C, T=T, maxiter=maxiter, cert_tol=cert_tol
+    )
+    t_tilde = translation_rhs(
+        result.r_cam, result.r_time, t_e, k_t, cam_idx, time_idx,
+        marker_idx, R_con, t_con, root_idx,
+    )
+    t_est, res = _cg(t_tilde, k_t, cam_idx, time_idx, C, T, cg_tol, None)
+    N = C + T
+    out = jnp.zeros((N + 1, 12), edata.dtype)
+    out = out.at[:C, :9].set(result.r_cam.reshape(C, 9))
+    out = out.at[C:N, :9].set(result.r_time.reshape(T, 9))
+    out = out.at[:N, 9:].set(t_est)
+    out = out.at[N, 0].set(res.astype(edata.dtype))
+    return result, out
 
 
 @partial(jax.jit, static_argnames=("C", "T", "maxiter"))

@@ -6,8 +6,21 @@ The reference keeps the pose graph as a Python dict
 the string/dict world exactly once: this module evaluates the user's
 ``edge_filter`` / ``noise_model`` callables per edge (they are arbitrary host
 Python, e.g. polygon areas — main.ipynb cells 3/7), parses the node names, and
-emits static-shaped NumPy arrays + integer index vectors.  Everything after
-this boundary is jittable device code (:mod:`vican_tpu.solver.core`).
+emits TWO fused static-shaped buffers — everything the device program needs
+in two H2D transfers over the bandwidth/latency-bound host link:
+
+  ``edata (E, 9)``  ``[qw qx qy qz | tx ty tz | k_r k_t]`` (solver dtype)
+  ``eidx  (E, 3)``  ``[cam, time, marker]`` int32
+
+Rotations travel as quaternions (4 floats instead of 9) whenever every edge
+rotation verifies as orthonormal and proper — checked over EVERY edge; PnP
+outputs always pass.  Non-orthonormal inputs fall back to shipping the raw
+matrices (``R_e_raw``), faithful to the reference which folds the raw matrix.
+
+The single-pass packer is C (:mod:`vican_tpu._native` fastpack.c) with a
+pure-Python fallback producing equivalent output (tests/test_packing.py).
+Everything after this boundary is jittable device code
+(:mod:`vican_tpu.solver.core`).
 """
 from __future__ import annotations
 
@@ -48,6 +61,23 @@ def _mat_to_quat(R: np.ndarray) -> np.ndarray:
     return q / np.linalg.norm(q, axis=1, keepdims=True)
 
 
+def _quat_to_mat(q: np.ndarray) -> np.ndarray:
+    """Host inverse of :func:`_mat_to_quat` (matches ops.lie.quat_to_mat)."""
+    q = q / np.linalg.norm(q, axis=1, keepdims=True)
+    w, x, y, z = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+    R = np.empty((len(q), 3, 3), q.dtype)
+    R[:, 0, 0] = 1 - 2 * (y * y + z * z)
+    R[:, 0, 1] = 2 * (x * y - z * w)
+    R[:, 0, 2] = 2 * (x * z + y * w)
+    R[:, 1, 0] = 2 * (x * y + z * w)
+    R[:, 1, 1] = 1 - 2 * (x * x + z * z)
+    R[:, 1, 2] = 2 * (y * z - x * w)
+    R[:, 2, 0] = 2 * (x * z - y * w)
+    R[:, 2, 1] = 2 * (y * z + x * w)
+    R[:, 2, 2] = 1 - 2 * (x * x + y * y)
+    return R
+
+
 def _warn_unconstrained(n: int):
     import warnings
 
@@ -58,43 +88,87 @@ def _warn_unconstrained(n: int):
     )
 
 
+def _sorted_remap(id_list: list, prov_idx: np.ndarray) -> tuple[list, np.ndarray]:
+    """Remap first-appearance-order ids/indices to lexicographic order.
+
+    Node orderings replicate the reference's ``np.unique`` over prefixed
+    names (bipgo.py:225-229) — required for bit-parity of the gauge anchor
+    (the eigenvector normalization pins the gauge to node 0, bipgo.py:295).
+    """
+    order = sorted(range(len(id_list)), key=id_list.__getitem__)
+    inv = np.empty(len(order), np.int32)
+    inv[np.asarray(order, np.int32)] = np.arange(len(order), dtype=np.int32)
+    return [id_list[i] for i in order], inv[prov_idx]
+
+
 @dataclass
 class PackedProblem:
-    """A bipartite camera<->time pose graph in array form.
+    """A bipartite camera<->time pose graph in fused array form.
 
-    Per *filtered* edge ``e`` (camera ``cam_idx[e]`` observed marker
-    ``marker_idx[e]`` at time ``time_idx[e]``):
+    Per *filtered* edge ``e`` (camera ``eidx[e,0]`` observed marker
+    ``eidx[e,2]`` at time ``eidx[e,1]``), ``edata[e]`` holds the measured
+    camera->marker rotation as a unit quaternion (wxyz), the translation, and
+    the rotation/translation noise-model weights.  The reference's per-(c,t)
+    aggregation (bipgo.py:215-221) needs no host precomputation: the device
+    scatter-add that builds the block tensor accumulates duplicate
+    (camera, time) cells.
 
-    - ``R_e``/``t_e``: the measured camera->marker SE(3) edge pose
-    - ``k_r``/``k_t``: rotation/translation noise-model weights
-
-    The reference's per-(c,t) aggregation (bipgo.py:215-221) needs no host
-    precomputation: the device scatter-add that builds the block tensor
-    accumulates duplicate (camera, time) cells.
+    When the input rotations fail the orthonormality/properness gate,
+    ``has_quats`` is False, the quaternion slots are unused, and the raw
+    matrices ship via ``R_e_raw`` (the reference folds the raw matrix).
     """
 
-    cam_ids: list[str]
-    time_ids: list[str]
-    marker_ids: list[str]
-    # per-edge arrays (E, ...)
-    R_e: np.ndarray
-    t_e: np.ndarray
-    k_r: np.ndarray
-    k_t: np.ndarray
-    cam_idx: np.ndarray
-    time_idx: np.ndarray
-    marker_idx: np.ndarray
-    # constraints (M, ...)
+    cam_ids: list
+    time_ids: list
+    marker_ids: list
+    edata: np.ndarray  # (E, 9): [q(4) | t(3) | k_r | k_t]
+    eidx: np.ndarray  # (E, 3) int32: [cam, time, marker]
     R_con: np.ndarray
     t_con: np.ndarray
     root_idx: int
-    # optional compact rotation transfer (E, 4) wxyz; set when the edge
-    # rotations verify as orthonormal (PnP outputs always do)
-    q_e: np.ndarray | None = None
     # factor the rotation weights were divided by during f32 normalization
     # (1.0 when unnormalized); the optimality certificate threshold must be
     # divided by this to stay equivalent to the reference's absolute test
     k_r_scale: float = 1.0
+    has_quats: bool = True
+    R_e_raw: np.ndarray | None = None
+
+    # --- views over the fused buffers -----------------------------------
+    @property
+    def q_e(self) -> np.ndarray | None:
+        return self.edata[:, :4] if self.has_quats else None
+
+    @property
+    def t_e(self) -> np.ndarray:
+        return self.edata[:, 4:7]
+
+    @property
+    def k_r(self) -> np.ndarray:
+        return self.edata[:, 7]
+
+    @property
+    def k_t(self) -> np.ndarray:
+        return self.edata[:, 8]
+
+    @property
+    def cam_idx(self) -> np.ndarray:
+        return self.eidx[:, 0]
+
+    @property
+    def time_idx(self) -> np.ndarray:
+        return self.eidx[:, 1]
+
+    @property
+    def marker_idx(self) -> np.ndarray:
+        return self.eidx[:, 2]
+
+    @property
+    def R_e(self) -> np.ndarray:
+        """Edge rotation matrices (reconstructed from quaternions on the
+        quaternion path — exact to dtype rounding; the raw array otherwise)."""
+        if self.R_e_raw is None:
+            self.R_e_raw = _quat_to_mat(self.edata[:, :4])
+        return self.R_e_raw
 
     @property
     def num_cams(self) -> int:
@@ -106,7 +180,7 @@ class PackedProblem:
 
     @property
     def num_edges(self) -> int:
-        return int(self.R_e.shape[0])
+        return int(self.edata.shape[0])
 
 
 def pack_constraints(
@@ -127,6 +201,65 @@ def pack_constraints(
     return marker_ids, R_con, t_con, order[root_key]
 
 
+def _pack_python(src_edges, marker2idx, noise_model_r, noise_model_t, edge_filter, dtype):
+    """Pure-Python packer (fallback; also the raw-matrix path)."""
+    kept = []
+    skipped = 0
+    for k, v in src_edges.items():
+        if not edge_filter(v):
+            continue
+        tm = k[1].partition("_")  # first underscore, like the C packer
+        if tm[1] != "_":
+            raise ValueError(f"edge key {k!r} has no '_'")
+        if tm[2] not in marker2idx:
+            skipped += 1
+            continue
+        kept.append((k[0], tm[0], tm[2], v))
+    if skipped:
+        _warn_unconstrained(skipped)
+    if not kept:
+        raise ValueError("edge_filter removed every edge; nothing to synchronize")
+    poses = [v["pose"] for _, _, _, v in kept]
+    E = len(kept)
+    # Arrays are built directly in the solver dtype: host->device transfers
+    # are bandwidth-bound, and a separate f64 staging pass doubles both the
+    # conversion time and the bytes shipped.
+    R_e = np.array([p._R for p in poses], dtype=dtype)
+    edata = np.zeros((E, 9), dtype)
+    edata[:, 4:7] = np.array([p._t for p in poses], dtype=dtype).reshape(-1, 3)
+    edata[:, 7] = [noise_model_r(v) for _, _, _, v in kept]
+    edata[:, 8] = [noise_model_t(v) for _, _, _, v in kept]
+
+    ortho = np.abs(np.einsum("eij,ekj->eik", R_e, R_e) - np.eye(3)).max()
+    proper = np.linalg.det(R_e).min() > 0.5  # reflections are not rotations
+    has_quats = bool(ortho < 1e-3 and proper)
+    if has_quats:
+        edata[:, :4] = _mat_to_quat(R_e).astype(dtype)
+
+    cam_ids, cam_idx = _sorted_remap(*_intern([c for c, _, _, _ in kept]))
+    time_ids, time_idx = _sorted_remap(*_intern([t for _, t, _, _ in kept]))
+    eidx = np.stack(
+        [cam_idx, time_idx,
+         np.array([marker2idx[m] for _, _, m, _ in kept], np.int32)], 1
+    ).astype(np.int32)
+    return edata, eidx, cam_ids, time_ids, has_quats, (None if has_quats else R_e)
+
+
+def _intern(names: list) -> tuple[list, np.ndarray]:
+    """First-appearance interning: (unique names, provisional index array)."""
+    seen: dict = {}
+    idx = np.empty(len(names), np.int32)
+    uniq = []
+    for i, s in enumerate(names):
+        j = seen.get(s)
+        if j is None:
+            j = len(uniq)
+            seen[s] = j
+            uniq.append(s)
+        idx[i] = j
+    return uniq, idx
+
+
 def pack_problem(
     src_edges: dict,
     constraints: dict,
@@ -135,72 +268,42 @@ def pack_problem(
     edge_filter: Callable,
     dtype=np.float64,
 ) -> PackedProblem:
-    """Filter + parse the edge dict into a :class:`PackedProblem`.
-
-    Node orderings replicate the reference's ``np.unique`` over ``'c'+id`` /
-    ``'t'+timestep`` prefixed names (bipgo.py:225-229), i.e. lexicographic
-    order of the raw id strings — required for bit-parity of the gauge anchor
-    (the eigenvector normalization pins the gauge to node 0, bipgo.py:295).
-    """
+    """Filter + parse the edge dict into a :class:`PackedProblem`."""
+    dtype = np.dtype(dtype)
     marker_ids, R_con, t_con, root_idx = pack_constraints(constraints, dtype)
     marker2idx = {m: i for i, m in enumerate(marker_ids)}
 
-    fastpack = None
-    if np.dtype(dtype) == np.float32:
-        from .._native import get_fastpack
+    from .._native import get_fastpack
 
-        fastpack = get_fastpack()
-
+    fastpack = get_fastpack()
+    packed_raw = None
     if fastpack is not None:
-        # C path: filtering, key parsing and array fills run natively; only
-        # the user callables execute in the interpreter.
-        kept_vals, cams, times, markers, krs, kts, skipped = fastpack.pack_edges(
-            src_edges, edge_filter, noise_model_r, noise_model_t, marker2idx
+        # C path: one pass over the dict does filtering, key parsing, node-id
+        # interning, quaternion conversion, the full orthonormality gate and
+        # the fused buffer fills; only the user callables run in the
+        # interpreter.
+        edata_b, eidx_b, cam_list, time_list, E, skipped, ortho_ok = fastpack.pack_edges2(
+            src_edges, edge_filter, noise_model_r, noise_model_t, marker2idx,
+            dtype == np.float64,
         )
         if skipped:
             _warn_unconstrained(skipped)
-        if not kept_vals:
+        if E == 0:
             raise ValueError("edge_filter removed every edge; nothing to synchronize")
-        E = len(kept_vals)
-        poses = [v["pose"] for v in kept_vals]
-        pose44 = np.empty((E, 16), dtype=np.float32)
-        fastpack.fill_f32(pose44, poses, "_pose", 16)
-        pose44 = pose44.reshape(E, 4, 4)
-        R_e = np.ascontiguousarray(pose44[:, :3, :3])
-        t_e = np.ascontiguousarray(pose44[:, :3, 3])
-        k_r = np.asarray(krs, dtype=dtype)
-        k_t = np.asarray(kts, dtype=dtype)
-        marker_idx = np.asarray(markers, dtype=np.int32)
-    else:
-        # Pure-Python path (also the float64 path); identical output —
-        # tests/test_packing.py cross-checks the two.
-        kept = [(k, v) for k, v in src_edges.items() if edge_filter(v)]
-        n_before = len(kept)
-        kept = [(k, v) for k, v in kept if k[1].split("_")[1] in marker2idx]
-        if len(kept) < n_before:
-            _warn_unconstrained(n_before - len(kept))
-        if not kept:
-            raise ValueError("edge_filter removed every edge; nothing to synchronize")
-        cams = [k[0] for k, _ in kept]
-        tms = [k[1].split("_") for k, _ in kept]
-        times = [tm[0] for tm in tms]
-        markers = [tm[1] for tm in tms]
-        poses = [v["pose"] for _, v in kept]
-        # Arrays are built directly in the solver dtype: host->device
-        # transfers are bandwidth-bound, and a separate f64 staging pass
-        # doubles both the conversion time and the bytes shipped.
-        R_e = np.array([p._R for p in poses], dtype=dtype)
-        t_e = np.array([p._t for p in poses], dtype=dtype).reshape(-1, 3)
-        k_r = np.array([noise_model_r(v) for _, v in kept], dtype=dtype)
-        k_t = np.array([noise_model_t(v) for _, v in kept], dtype=dtype)
-        marker_idx = np.array([marker2idx[m] for m in markers], dtype=np.int32)
-
-    cam_ids = sorted(set(cams))
-    time_ids = sorted(set(times))
-    cam2idx = {c: i for i, c in enumerate(cam_ids)}
-    time2idx = {t: i for i, t in enumerate(time_ids)}
-    cam_idx = np.array([cam2idx[c] for c in cams], dtype=np.int32)
-    time_idx = np.array([time2idx[t] for t in times], dtype=np.int32)
+        if ortho_ok:
+            edata = np.frombuffer(edata_b, dtype=dtype).reshape(E, 9)
+            eidx = np.frombuffer(eidx_b, dtype=np.int32).reshape(E, 3)
+            cam_ids, eidx[:, 0] = _sorted_remap(cam_list, eidx[:, 0])
+            time_ids, eidx[:, 1] = _sorted_remap(time_list, eidx[:, 1])
+            packed_raw = (edata, eidx, cam_ids, time_ids, True, None)
+        # else: non-orthonormal rotations — repack below shipping raw
+        # matrices (the callables run a second time; this path is rare and
+        # correctness-first)
+    if packed_raw is None:
+        packed_raw = _pack_python(
+            src_edges, marker2idx, noise_model_r, noise_model_t, edge_filter, dtype
+        )
+    edata, eidx, cam_ids, time_ids, has_quats, R_e_raw = packed_raw
 
     # The sync problem is well-posed only on a connected graph: each extra
     # component adds 3 kernel dimensions to the Laplacian and the primal
@@ -209,6 +312,8 @@ def pack_problem(
     # component and surface the drop.
     n_cams_all = len(cam_ids)
     n_nodes = n_cams_all + len(time_ids)
+    cam_idx = eidx[:, 0]
+    time_idx = eidx[:, 1]
     try:
         from scipy.sparse import coo_matrix
         from scipy.sparse.csgraph import connected_components
@@ -246,61 +351,47 @@ def pack_problem(
             stacklevel=3,
         )
         kept = np.nonzero(keep_edge)[0]
-        R_e, t_e, k_r, k_t = (a[kept] for a in (R_e, t_e, k_r, k_t))
-        marker_idx = marker_idx[kept]
-        kept_cam_names = [cams[i] for i in kept]
-        kept_time_names = [times[i] for i in kept]
-        cam_ids = sorted(set(kept_cam_names))
-        time_ids = sorted(set(kept_time_names))
-        cam2idx = {c: i for i, c in enumerate(cam_ids)}
-        time2idx = {t: i for i, t in enumerate(time_ids)}
-        cam_idx = np.array([cam2idx[c] for c in kept_cam_names], dtype=np.int32)
-        time_idx = np.array([time2idx[t] for t in kept_time_names], dtype=np.int32)
+        edata = edata[kept]
+        eidx = eidx[kept]
+        if R_e_raw is not None:
+            R_e_raw = R_e_raw[kept]
+        # compress node indices; np.unique preserves the lexicographic order
+        # of the surviving ids (they were sorted already)
+        used_c = np.unique(eidx[:, 0])
+        remap_c = np.full(n_cams_all, -1, np.int32)
+        remap_c[used_c] = np.arange(len(used_c), dtype=np.int32)
+        eidx[:, 0] = remap_c[eidx[:, 0]]
+        cam_ids = [cam_ids[i] for i in used_c]
+        used_t = np.unique(eidx[:, 1])
+        remap_t = np.full(len(time_ids), -1, np.int32)
+        remap_t[used_t] = np.arange(len(used_t), dtype=np.int32)
+        eidx[:, 1] = remap_t[eidx[:, 1]]
+        time_ids = [time_ids[i] for i in used_t]
 
     k_r_scale = 1.0
-    if np.dtype(dtype) == np.float32:
+    if dtype == np.float32:
         # The tutorial's noise models reach areas**6 ~ 1e16 (main.ipynb cell
         # 3); squared norms of such weights overflow float32.  The solve is
         # invariant to a global weight scale (it multiplies the Laplacian /
-        # the LSQ system uniformly), so normalize to max = 1 in f32.  The
-        # rotation factor is recorded so the solver's absolute optimality
-        # certificate (max|eval| <= 1e-6, bipgo.py:283-284) can be rescaled
-        # to fire at the same point as the reference's unnormalized test.
-        m = float(np.max(np.abs(k_r))) if k_r.size else 0.0
+        # the LSQ system uniformly), so normalize to max = 1 in f32.
+        m = float(np.max(np.abs(edata[:, 7]))) if len(edata) else 0.0
         if m > 0:
-            k_r /= m
+            edata[:, 7] /= m
             k_r_scale = m
-        m = float(np.max(np.abs(k_t))) if k_t.size else 0.0
+        m = float(np.max(np.abs(edata[:, 8]))) if len(edata) else 0.0
         if m > 0:
-            k_t /= m
-
-    # Compact rotation transfer: the host->device link is bandwidth-bound,
-    # so orthonormal edge rotations ship as quaternions (4 floats vs 9).
-    # The orthonormality/properness gate runs over EVERY edge — a few
-    # non-orthonormal poses outside a sampled subset would otherwise be
-    # silently "repaired" by the quaternion round-trip, diverging from the
-    # reference (which folds the raw matrix).  The full (E,3,3) einsum is
-    # negligible next to the host-link transfer it enables.
-    q_e = None
-    ortho = np.abs(np.einsum("eij,ekj->eik", R_e, R_e) - np.eye(3)).max()
-    proper = np.linalg.det(R_e).min() > 0.5  # reflections are not rotations
-    if ortho < 1e-3 and proper:
-        q_e = _mat_to_quat(R_e).astype(dtype)
+            edata[:, 8] /= m
 
     return PackedProblem(
-        q_e=q_e,
-        k_r_scale=k_r_scale,
         cam_ids=cam_ids,
         time_ids=time_ids,
         marker_ids=marker_ids,
-        R_e=R_e,
-        t_e=t_e,
-        k_r=k_r,
-        k_t=k_t,
-        cam_idx=cam_idx,
-        time_idx=time_idx,
-        marker_idx=marker_idx,
+        edata=edata,
+        eidx=eidx,
         R_con=R_con,
         t_con=t_con,
         root_idx=root_idx,
+        k_r_scale=k_r_scale,
+        has_quats=has_quats,
+        R_e_raw=R_e_raw,
     )
