@@ -82,7 +82,7 @@ def main():
     ap.add_argument("--cams", type=int, default=10_000)
     ap.add_argument("--times", type=int, default=10_000)
     ap.add_argument("--edges", type=int, default=1_000_000)
-    ap.add_argument("--chunk-t", type=int, default=64)
+    ap.add_argument("--chunk-t", type=int, default=0, help="0 = auto (~T/8)")
     ap.add_argument("--maxiter", type=int, default=4)
     ap.add_argument("--reps", type=int, default=3)
     args = ap.parse_args()
@@ -92,6 +92,8 @@ def main():
     from vican_tpu.solver.scale import so3_sync_large, sort_edges_by_time
 
     C, T, E = args.cams, args.times, args.edges
+    if not args.chunk_t:
+        args.chunk_t = min(T, max(64, -(-T // 8)))
     t0 = time.perf_counter()
     KR, k_r, cam_idx, time_idx = make_folded_edges(0, C, T, E, kappa=1e4)
     gen_s = time.perf_counter() - t0

@@ -197,7 +197,12 @@ def _so3_sync_large_from_packed(
     from .solver import scale as _scale
 
     C, T = packed.num_cams, packed.num_times
-    chunk_t = int(os.environ.get("VICAN_TPU_SCALE_CHUNK_T", 64))
+    # ~8 chunks by default: the (3C, 3C) power-graph accumulator is re-read/
+    # written once per chunk, so few large chunks amortize its HBM traffic
+    # (dominant at C ~ 10k where the accumulator is gigabytes)
+    chunk_t = int(os.environ.get("VICAN_TPU_SCALE_CHUNK_T", 0)) or min(
+        T, max(64, -(-T // 8))
+    )
     cert_tol = 1e-6 / packed.k_r_scale
 
     with tm.phase("Folding constraints (host, chunked)"):

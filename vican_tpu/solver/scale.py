@@ -172,7 +172,7 @@ def so3_sync_large(
     # All chunk tensors stay strictly 2-D: TPU tiled layouts pad the
     # minor-most dimension to 128, so a (C, 3, Tc, 3) block would cost 42x
     # its logical size in HBM.  A chunk is a (3C, 3*Tc) matrix; the time
-    # dual is applied as a small (3*Tc, 3*Tc) block-diagonal matmul.
+    # dual is applied blockwise (apply_lbd), never as a dense 3Tc matmul.
     three_c = 3 * C
     three_t = 3 * chunk_t
     a3 = jnp.arange(3, dtype=jnp.int32)
@@ -183,20 +183,47 @@ def so3_sync_large(
         cols = 3 * tloc_s[c][:, None, None] + a3[None, None, :]
         return jnp.zeros((three_c, three_t), dtype).at[rows, cols].add(KR_s[c])
 
-    def chunk_lbd(lbd_t, c):
-        """(3*Tc, 3*Tc) block-diagonal of the chunk's time duals."""
+    # The chunk blocks are loop-invariant (only Lambda_T changes between
+    # iterations), and TPU scatters serialize — rebuilding them inside every
+    # power-graph/time-product pass dominated the solve.  Materialize them
+    # ONCE when they fit the HBM budget (3C*3T*4 bytes — 3.6 GB at
+    # C = T = 10k); past the budget fall back to streaming re-scatter (the
+    # >HBM regime this module exists for).
+    materialize = (
+        n_chunks * three_c * three_t * jnp.dtype(dtype).itemsize
+        <= int(6e9)
+    )
+    if materialize:
+        Bs = lax.map(chunk_block, jnp.arange(n_chunks, dtype=jnp.int32))
+        get_block = lambda c: Bs[c]
+    else:
+        get_block = chunk_block
+
+    def apply_lbd(B, lbd_t, c):
+        """B @ blockdiag(chunk c's time duals), applied blockwise.
+
+        The dense (3Tc, 3Tc) block-diagonal matmul would spend ~Tc x its
+        flops on structural zeros; the (3C, Tc, 3) x (Tc, 3, 3) einsum costs
+        only the nonzero blocks and keeps the ONE big MXU matmul per chunk
+        the Y @ B^T accumulation below.
+        """
         lc = lax.dynamic_slice(lbd_t, (c * chunk_t, 0, 0), (chunk_t, 3, 3))
-        tt = jnp.arange(chunk_t, dtype=jnp.int32)
-        rows = 3 * tt[:, None, None] + a3[None, :, None]
-        cols = 3 * tt[:, None, None] + a3[None, None, :]
-        return jnp.zeros((three_t, three_t), dtype).at[rows, cols].add(lc)
+        Y = jnp.einsum(
+            "atb,tbd->atd", B.reshape(three_c, chunk_t, 3), lc, precision=HIGHEST
+        )
+        return Y.reshape(three_c, three_t)
 
     def power_graph(lbd_t):
-        """R~ = sum_c B_c Lambda_c B_c^T accumulated over time chunks."""
+        """R~ = sum_c B_c Lambda_c B_c^T accumulated over time chunks.
+
+        Bandwidth note: the (3C, 3C) accumulator is re-read/written once per
+        chunk, so larger ``chunk_t`` (fewer chunks) amortizes that traffic —
+        the dominant cost at C ~ 10k where the accumulator is gigabytes.
+        """
 
         def body(c, acc):
-            B = chunk_block(c)
-            Y = jnp.matmul(B, chunk_lbd(lbd_t, c), precision=HIGHEST)
+            B = get_block(c)
+            Y = apply_lbd(B, lbd_t, c)
             return acc + jnp.matmul(Y, B.T, precision=HIGHEST)
 
         return lax.fori_loop(0, n_chunks, body, jnp.zeros((three_c, three_c), dtype))
@@ -206,7 +233,7 @@ def so3_sync_large(
         r_flat = r_c.reshape(three_c, 3)
 
         def body(c, acc):
-            B = chunk_block(c)
+            B = get_block(c)
             rt = jnp.matmul(B.T, r_flat, precision=HIGHEST)  # (3*Tc, 3)
             return lax.dynamic_update_slice(acc, rt.reshape(chunk_t, 3, 3), (c * chunk_t, 0, 0))
 
@@ -347,17 +374,26 @@ def so3_sync_large_sharded(
             cols = 3 * tloc_l[c][:, None, None] + a3[None, None, :]
             return jnp.zeros((three_c, three_t), dtype).at[rows, cols].add(KR_l[c])
 
-        def chunk_lbd(lbd_t_l, c):
+        # loop-invariant blocks materialized once per device when they fit
+        # (see the single-chip variant)
+        if nc_local * three_c * three_t * jnp.dtype(dtype).itemsize <= int(6e9):
+            Bs_l = lax.map(chunk_block, jnp.arange(nc_local, dtype=jnp.int32))
+            get_block = lambda c: Bs_l[c]
+        else:
+            get_block = chunk_block
+
+        def apply_lbd(B, lbd_t_l, c):
+            # blockwise Lambda application (see the single-chip variant)
             lc = lax.dynamic_slice(lbd_t_l, (c * chunk_t, 0, 0), (chunk_t, 3, 3))
-            tt = jnp.arange(chunk_t, dtype=jnp.int32)
-            rows = 3 * tt[:, None, None] + a3[None, :, None]
-            cols = 3 * tt[:, None, None] + a3[None, None, :]
-            return jnp.zeros((three_t, three_t), dtype).at[rows, cols].add(lc)
+            Y = jnp.einsum(
+                "atb,tbd->atd", B.reshape(three_c, chunk_t, 3), lc, precision=HIGHEST
+            )
+            return Y.reshape(three_c, three_t)
 
         def power_graph(lbd_t_l):
             def body(c, acc):
-                B = chunk_block(c)
-                Y = jnp.matmul(B, chunk_lbd(lbd_t_l, c), precision=HIGHEST)
+                B = get_block(c)
+                Y = apply_lbd(B, lbd_t_l, c)
                 return acc + jnp.matmul(Y, B.T, precision=HIGHEST)
 
             local = lax.fori_loop(0, nc_local, body, jnp.zeros((three_c, three_c), dtype))
@@ -367,7 +403,7 @@ def so3_sync_large_sharded(
             r_flat = r_c.reshape(three_c, 3)
 
             def body(c, acc):
-                B = chunk_block(c)
+                B = get_block(c)
                 rt = jnp.matmul(B.T, r_flat, precision=HIGHEST)
                 return lax.dynamic_update_slice(
                     acc, rt.reshape(chunk_t, 3, 3), (c * chunk_t, 0, 0)
