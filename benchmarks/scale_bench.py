@@ -83,6 +83,7 @@ def main():
     ap.add_argument("--times", type=int, default=10_000)
     ap.add_argument("--edges", type=int, default=1_000_000)
     ap.add_argument("--chunk-t", type=int, default=0, help="0 = auto (~T/8)")
+    ap.add_argument("--precision", default="high", choices=["highest", "high"])
     ap.add_argument("--maxiter", type=int, default=4)
     ap.add_argument("--reps", type=int, default=3)
     args = ap.parse_args()
@@ -108,6 +109,7 @@ def main():
         res = so3_sync_large(
             *dev, C=C, T=T, chunk_t=args.chunk_t,
             maxiter=jnp.asarray(args.maxiter, jnp.int32),
+            precision=args.precision,
         )
         r_cam = np.asarray(res.r_cam)  # forced fetch = the only real sync
         evals = np.asarray(res.evals)
@@ -133,6 +135,7 @@ def main():
             "kernel_evals_max_abs": float(np.abs(evals[:3]).max()),
             "eigengap": float(abs(evals[3] / evals[2])),
             "r_cam_ortho_err": ortho_err,
+            "precision": args.precision,
             "backend": jax.devices()[0].platform,
             "measured_with_forced_fetch": True,
         },

@@ -132,6 +132,26 @@ def test_dict_api_scale_path_sharded(problem, monkeypatch):
         assert np.allclose(single[n].pose(), sharded[n].pose(), atol=1e-3)
 
 
+def test_high_precision_variant_matches(problem):
+    """precision='high' (3-pass bf16 big matmuls on TPU) is accepted and
+    agrees with 'highest' (identical on CPU where f32 matmuls are exact; on
+    TPU the perturbation is ~1e-5 rad — verified via the bench diagnostics)."""
+    from vican_tpu.ops.lie import distance_so3
+
+    prob, p = problem
+    C, T = p.num_cams, p.num_times
+    KR = core.fold_constraints(
+        jnp.asarray(p.R_e), jnp.asarray(p.k_r), jnp.asarray(p.marker_idx),
+        jnp.asarray(p.R_con), p.root_idx,
+    )
+    chunked = sort_edges_by_time(np.asarray(KR), p.k_r, p.cam_idx, p.time_idx, T, 64)
+    a = so3_sync_large(*[jnp.asarray(x) for x in chunked], C=C, T=T, chunk_t=64,
+                       maxiter=jnp.asarray(4, jnp.int32), precision="highest")
+    b = so3_sync_large(*[jnp.asarray(x) for x in chunked], C=C, T=T, chunk_t=64,
+                       maxiter=jnp.asarray(4, jnp.int32), precision="high")
+    assert np.asarray(distance_so3(a.r_cam, b.r_cam)).max() < 0.01
+
+
 def test_large_path_with_gappy_timesteps():
     """A filtered-out band of timesteps (empty chunks, possibly isolated
     cameras) flows through the packing connectivity guard and both solver

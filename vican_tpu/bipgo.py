@@ -203,6 +203,9 @@ def _so3_sync_large_from_packed(
     chunk_t = int(os.environ.get("VICAN_TPU_SCALE_CHUNK_T", 0)) or min(
         T, max(64, -(-T // 8))
     )
+    # "high" (3-pass bf16 big matmuls, ~40% faster at C ~ 10k) perturbs the
+    # rotations ~1e-5 rad — far below the parity budget; see so3_sync_large.
+    precision = os.environ.get("VICAN_TPU_SCALE_PRECISION", "high")
     cert_tol = 1e-6 / packed.k_r_scale
 
     with tm.phase("Folding constraints (host, chunked)"):
@@ -225,13 +228,13 @@ def _so3_sync_large_from_packed(
             if mesh is not None:
                 result = _scale.so3_sync_large_sharded(
                     *chunked, C=C, T=T, chunk_t=chunk_t, maxiter=maxiter,
-                    mesh=mesh, cert_tol=cert_tol,
+                    mesh=mesh, cert_tol=cert_tol, precision=precision,
                 )
             else:
                 result = _scale.so3_sync_large(
                     *[jnp.asarray(x) for x in chunked], C=C, T=T,
                     chunk_t=chunk_t, maxiter=jnp.asarray(maxiter, jnp.int32),
-                    cert_tol=cert_tol,
+                    cert_tol=cert_tol, precision=precision,
                 )
         ev["sync"] = result
     if verbose:

@@ -75,21 +75,21 @@ def sort_edges_by_time(KR, k_r, cam_idx, time_idx, T: int, chunk_t: int):
     return KR_s, k_s, cam_s, tloc_s
 
 
-def _estimate_lmax(L, iters: int = 16):
+def _estimate_lmax(L, iters: int = 16, prec=HIGHEST):
     """Largest eigenvalue of symmetric PSD-ish L via power iteration."""
     n = L.shape[0]
     v = jnp.cos(jnp.arange(n, dtype=L.dtype))  # deterministic start
     v = v / jnp.linalg.norm(v)
 
     def body(_, v):
-        w = jnp.matmul(L, v, precision=HIGHEST)
+        w = jnp.matmul(L, v, precision=prec)
         return w / jnp.maximum(jnp.linalg.norm(w), 1e-30)
 
     v = lax.fori_loop(0, iters, body, v)
-    return jnp.vdot(v, jnp.matmul(L, v, precision=HIGHEST))
+    return jnp.vdot(v, jnp.matmul(L, v, precision=prec))
 
 
-def _cheb_filter(L, X, deg: int, a, b, a0=0.0):
+def _cheb_filter(L, X, deg: int, a, b, a0=0.0, prec=HIGHEST):
     """Scaled Chebyshev filter (Zhou et al. CheFSI): damp [a, b], amplify
     the spectrum below ``a`` (where the Laplacian kernel lives)."""
     e = (b - a) * 0.5
@@ -98,7 +98,7 @@ def _cheb_filter(L, X, deg: int, a, b, a0=0.0):
     tau = 2.0 / sigma1  # fixed by the first sigma (three-term recurrence)
 
     def mv(X):
-        return jnp.matmul(L, X, precision=HIGHEST)
+        return jnp.matmul(L, X, precision=prec)
 
     Y = (mv(X) - c * X) * (sigma1 / e)
 
@@ -112,7 +112,7 @@ def _cheb_filter(L, X, deg: int, a, b, a0=0.0):
     return Y
 
 
-def _chefsi_bottom(L, X, k: int, deg: int, rounds: int):
+def _chefsi_bottom(L, X, k: int, deg: int, rounds: int, prec=HIGHEST):
     """Bottom-k eigenpairs via Chebyshev-filtered subspace iteration.
 
     ``X (n, m)`` with m >= k is the (warm-startable) subspace; returns
@@ -123,15 +123,17 @@ def _chefsi_bottom(L, X, k: int, deg: int, rounds: int):
     lambda_4 << lmax (the regime ARPACK's shift-invert handles in the
     reference, bipgo.py:288).
     """
-    lmax = _estimate_lmax(L) * 1.05
+    lmax = _estimate_lmax(L, prec=prec) * 1.05
     a = 0.05 * lmax
 
     def round_body(_, X):
-        Xf = _cheb_filter(L, X, deg, a, lmax)
+        Xf = _cheb_filter(L, X, deg, a, lmax, prec=prec)
         Q, _ = jnp.linalg.qr(Xf)
         return Q
 
     Q = lax.fori_loop(0, rounds, round_body, X)
+    # Rayleigh-Ritz always at full precision: the certificate eigenvalues
+    # come from here
     S = jnp.matmul(Q.T, jnp.matmul(L, Q, precision=HIGHEST), precision=HIGHEST)
     S = 0.5 * (S + S.T)
     theta, W = jnp.linalg.eigh(S)  # ascending
@@ -139,7 +141,7 @@ def _chefsi_bottom(L, X, k: int, deg: int, rounds: int):
     return theta[:k], V[:, :k], V
 
 
-@partial(jax.jit, static_argnames=("C", "T", "chunk_t", "cheb_degree", "cheb_rounds", "subspace"))
+@partial(jax.jit, static_argnames=("C", "T", "chunk_t", "cheb_degree", "cheb_rounds", "cheb_degree_warm", "subspace", "precision"))
 def so3_sync_large(
     KR_s,
     k_s,
@@ -153,7 +155,9 @@ def so3_sync_large(
     cert_tol=1e-6,
     cheb_degree: int = 60,
     cheb_rounds: int = 2,
+    cheb_degree_warm: int = 60,
     subspace: int = 10,
+    precision: str = "highest",
 ) -> SyncResult:
     """Primal-dual SO(3) sync without the dense (C, 3, T, 3) block tensor.
 
@@ -161,7 +165,22 @@ def so3_sync_large(
     Mathematically identical to :func:`vican_tpu.solver.core.so3_sync`
     (same init, update order and certificate — bipgo.py:145-350); tested for
     parity in tests/test_scale.py.
+
+    The first iteration runs the full Chebyshev budget (``cheb_degree`` x
+    ``cheb_rounds``); subsequent iterations start from the warm subspace —
+    the power graph moves only O(dual-update) per iteration — and need a
+    single light filter pass (``cheb_degree_warm``).
+
+    ``precision``: matmul precision of the BIG contractions (power graph,
+    Chebyshev matvecs, time products).  ``"highest"`` = full f32;
+    ``"high"`` (3-pass bf16, ~1e-5 relative) is ~40% faster end-to-end at
+    C = 10k and perturbs the recovered rotations by only ~(matmul error /
+    spectral gap) ~ 1e-5 rad, far below the 1e-3 parity budget — but the
+    certificate eigenvalues coarsen from ~3e-4 to ~1.4e-3 (still 1e5 x
+    below the eigengap).  Rayleigh-Ritz and all 3x3 block algebra stay at
+    full precision either way.
     """
+    prec = {"highest": HIGHEST, "high": lax.Precision.HIGH}[precision]
     dtype = KR_s.dtype
     n_chunks, cap = k_s.shape
 
@@ -224,7 +243,7 @@ def so3_sync_large(
         def body(c, acc):
             B = get_block(c)
             Y = apply_lbd(B, lbd_t, c)
-            return acc + jnp.matmul(Y, B.T, precision=HIGHEST)
+            return acc + jnp.matmul(Y, B.T, precision=prec)
 
         return lax.fori_loop(0, n_chunks, body, jnp.zeros((three_c, three_c), dtype))
 
@@ -234,7 +253,7 @@ def so3_sync_large(
 
         def body(c, acc):
             B = get_block(c)
-            rt = jnp.matmul(B.T, r_flat, precision=HIGHEST)  # (3*Tc, 3)
+            rt = jnp.matmul(B.T, r_flat, precision=prec)  # (3*Tc, 3)
             return lax.dynamic_update_slice(acc, rt.reshape(chunk_t, 3, 3), (c * chunk_t, 0, 0))
 
         return lax.fori_loop(0, n_chunks, body, jnp.zeros((n_chunks * chunk_t, 3, 3), dtype))
@@ -260,7 +279,11 @@ def so3_sync_large(
         L = 0.5 * (L + L.T)
 
         scale = jnp.maximum(jnp.max(jnp.abs(jnp.diagonal(L))), 1e-30)
-        evals5, V5, X_next = _chefsi_bottom(L / scale, X, 5, cheb_degree, cheb_rounds)
+        evals5, V5, X_next = lax.cond(
+            it == 0,
+            lambda: _chefsi_bottom(L / scale, X, 5, cheb_degree, cheb_rounds, prec=prec),
+            lambda: _chefsi_bottom(L / scale, X, 5, cheb_degree_warm, 1, prec=prec),
+        )
         evals5 = evals5 * scale
         eigengap = jnp.abs(evals5[3] / evals5[2])
         max_eval = jnp.max(jnp.abs(evals5))
@@ -326,7 +349,9 @@ def so3_sync_large_sharded(
     cert_tol=1e-6,
     cheb_degree: int = 60,
     cheb_rounds: int = 2,
+    cheb_degree_warm: int = 60,
     subspace: int = 10,
+    precision: str = "highest",
 ) -> SyncResult:
     """Multi-chip large-graph SO(3) sync: the chunk stream sharded over the
     mesh's first axis.
@@ -342,6 +367,7 @@ def so3_sync_large_sharded(
     from jax.sharding import NamedSharding, PartitionSpec as P
     from jax.experimental.shard_map import shard_map
 
+    prec = {"highest": HIGHEST, "high": lax.Precision.HIGH}[precision]
     axis = mesh.axis_names[0]
     n_dev = mesh.devices.size
     n_chunks = KR_s.shape[0]
@@ -394,7 +420,7 @@ def so3_sync_large_sharded(
             def body(c, acc):
                 B = get_block(c)
                 Y = apply_lbd(B, lbd_t_l, c)
-                return acc + jnp.matmul(Y, B.T, precision=HIGHEST)
+                return acc + jnp.matmul(Y, B.T, precision=prec)
 
             local = lax.fori_loop(0, nc_local, body, jnp.zeros((three_c, three_c), dtype))
             return jax.lax.psum(local, axis)
@@ -404,7 +430,7 @@ def so3_sync_large_sharded(
 
             def body(c, acc):
                 B = get_block(c)
-                rt = jnp.matmul(B.T, r_flat, precision=HIGHEST)
+                rt = jnp.matmul(B.T, r_flat, precision=prec)
                 return lax.dynamic_update_slice(
                     acc, rt.reshape(chunk_t, 3, 3), (c * chunk_t, 0, 0)
                 )
@@ -431,7 +457,11 @@ def so3_sync_large_sharded(
             L = 0.5 * (L + L.T)
 
             scale = jnp.maximum(jnp.max(jnp.abs(jnp.diagonal(L))), 1e-30)
-            evals5, V5, X_next = _chefsi_bottom(L / scale, X, 5, cheb_degree, cheb_rounds)
+            evals5, V5, X_next = lax.cond(
+                it == 0,
+                lambda: _chefsi_bottom(L / scale, X, 5, cheb_degree, cheb_rounds, prec=prec),
+                lambda: _chefsi_bottom(L / scale, X, 5, cheb_degree_warm, 1, prec=prec),
+            )
             evals5 = evals5 * scale
             eigengap = jnp.abs(evals5[3] / evals5[2])
             max_eval = jnp.max(jnp.abs(evals5))
