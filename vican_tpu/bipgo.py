@@ -113,8 +113,7 @@ def large_bipartite_so3sync(
             packed.num_cams, packed.num_times, packed.num_edges
         )
     )
-    block_bytes = packed.num_cams * packed.num_times * 9 * np.dtype(dtype).itemsize
-    if block_bytes > _block_budget_bytes():
+    if _use_scale_path(packed.num_cams, packed.num_times, dtype):
         result = _so3_sync_large_from_packed(packed, dtype, maxiter, tm, verbose)
     else:
         arrs = _device_arrays(packed, dtype)
@@ -179,6 +178,20 @@ def _block_budget_bytes() -> int:
     ``VICAN_TPU_BLOCK_BUDGET_BYTES`` (read per call so tests can steer it).
     """
     return int(os.environ.get("VICAN_TPU_BLOCK_BUDGET_BYTES", 2 << 30))
+
+
+def _use_scale_path(C: int, T: int, dtype) -> bool:
+    """Route to the chunked/CheFSI path on memory OR eigensolver-size grounds.
+
+    Memory: the dense block tensor past ``_block_budget_bytes``.  Size: the
+    dense path's per-iteration ``eigh`` is O((3C)^3) — measured 0.28 s at
+    3C = 3000 and 1.6 s at 3C = 6000 on a v5e, while warm CheFSI stays in
+    tens of milliseconds — so camera counts past ``VICAN_TPU_SCALE_MIN_CAMS``
+    (default 1024) also reroute.
+    """
+    block_bytes = C * T * 9 * np.dtype(dtype).itemsize
+    min_cams = int(os.environ.get("VICAN_TPU_SCALE_MIN_CAMS", 1024))
+    return block_bytes > _block_budget_bytes() or C > min_cams
 
 
 def _so3_sync_large_from_packed(
@@ -355,8 +368,7 @@ def bipartite_se3sync(
     )
 
     C, T = packed.num_cams, packed.num_times
-    block_bytes = C * T * 9 * np.dtype(dtype).itemsize
-    if block_bytes > _block_budget_bytes():
+    if _use_scale_path(C, T, dtype):
         return _se3sync_scale_path(
             packed, dtype, maxiter, lsqr_solver, tm, verbose, mesh=mesh
         )

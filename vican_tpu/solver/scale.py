@@ -1,9 +1,12 @@
 """Large-graph SO(3) sync: the 10k-camera / million-edge path.
 
 The default solver (:mod:`vican_tpu.solver.core`) materializes the block
-tensor ``B (C, 3, T, 3)`` — perfect up to a few hundred cameras, impossible
-at C = 10k, T = 10k (3.6 TB).  This module keeps the same primal-dual
-algorithm (reference vican/bipgo.py:145-350) with two scale substitutions:
+tensor ``B (C, 3, T, 3)`` — perfect up to ~1k cameras, impossible at
+C = 10k, T = 10k (3.6 GB logical, but TPU tiled layouts pad the minor-most
+dim 3 to 128: ~1.5 TB resident — and the dense per-iteration ``eigh`` is
+O((3C)^3), measured 1.6 s at 3C = 6000).  This module keeps the same
+primal-dual algorithm (reference vican/bipgo.py:145-350) with two scale
+substitutions:
 
 1. **Chunked power-graph accumulation**: edges are sorted by timestep on the
    host; the device loops over fixed-size time chunks, scatters each chunk's
