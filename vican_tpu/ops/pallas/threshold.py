@@ -88,7 +88,7 @@ def multi_threshold(gray, win_sizes: tuple, thresh_const: float, interpret: bool
     out = pl.pallas_call(
         partial(_kernel, tuple(win_sizes), float(thresh_const), W, r_max),
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
             (len(win_sizes), TILE_H, W),
             lambda i: (0, i, 0),

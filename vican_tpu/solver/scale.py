@@ -367,8 +367,7 @@ def so3_sync_large_sharded(
     §5's "sequence parallelism" made concrete.
     """
     import numpy as _np
-    from jax.sharding import NamedSharding, PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
 
     prec = {"highest": HIGHEST, "high": lax.Precision.HIGH}[precision]
     axis = mesh.axis_names[0]
@@ -510,12 +509,12 @@ def so3_sync_large_sharded(
             it,
         )
 
-    sharded = shard_map(
+    sharded = jax.shard_map(
         body_fn,
         mesh=mesh,
         in_specs=(P(axis), P(axis), P(axis), P(axis)),
         out_specs=(P(), P(axis), P(), P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     with jax.default_matmul_precision("highest"):
         r_cam, r_time, evals5, eigengap, it = jax.jit(sharded)(
