@@ -74,7 +74,22 @@ def make_folded_edges(seed, C, T, E, kappa):
     # measurement M_ct ~ R_c^T R_t (the folded convention core.so3_sync syncs)
     KR = np.einsum("eji,ejk,ekl->eil", R_c[cam_idx], N, R_t[time_idx]).astype(np.float32)
     k_r = np.ones(E, np.float32)
-    return KR, k_r, cam_idx, time_idx
+    return KR, k_r, cam_idx, time_idx, R_c
+
+
+def gt_rotation_error_deg(r_cam_est, R_c_gt):
+    """Gauge-aligned per-camera rotation error (degrees) vs the generator's
+    ground truth — the accuracy half of any speed/precision trade-off."""
+    from vican_tpu.ops.lie import gauge_procrustes_so3, distance_so3
+
+    # The sync gauge is a LEFT global rotation (r_cam ~ G R_c); align the
+    # inverted stacks (the cell-9 protocol does the same via pose.inv()).
+    est_T = np.asarray(r_cam_est, np.float64).transpose(0, 2, 1)
+    gt_T = np.asarray(R_c_gt, np.float64).transpose(0, 2, 1)
+    G = np.asarray(gauge_procrustes_so3(gt_T, est_T))  # gt_T ~ est_T @ G
+    aligned = np.einsum("cij,jk->cik", est_T, G)
+    d = np.asarray(distance_so3(aligned, gt_T))
+    return float(d.mean()), float(d.max())
 
 
 def main():
@@ -83,24 +98,37 @@ def main():
     ap.add_argument("--times", type=int, default=10_000)
     ap.add_argument("--edges", type=int, default=1_000_000)
     ap.add_argument("--chunk-t", type=int, default=0, help="0 = auto (~T/8)")
-    ap.add_argument("--precision", default="high", choices=["highest", "high"])
+    ap.add_argument("--precision", default="highest", choices=["highest", "high", "default"])
+    ap.add_argument("--filter-dtype", default="auto", choices=["auto", "bfloat16", "none"])
+    ap.add_argument("--polish-deg", type=int, default=10)
+    ap.add_argument("--cheb-degree-warm", type=int, default=60)
     ap.add_argument("--maxiter", type=int, default=4)
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--no-wire", action="store_true",
+                    help="ship (E,3,3) f32 blocks instead of int16 quats")
+    ap.add_argument("--no-save", action="store_true", help="print only, don't overwrite scale_result.json")
     args = ap.parse_args()
 
     import jax.numpy as jnp
 
-    from vican_tpu.solver.scale import so3_sync_large, sort_edges_by_time
+    from vican_tpu.solver.scale import (
+        so3_sync_large, sort_edges_by_time, sort_edges_by_time_wire,
+    )
 
     C, T, E = args.cams, args.times, args.edges
     if not args.chunk_t:
         args.chunk_t = min(T, max(64, -(-T // 8)))
     t0 = time.perf_counter()
-    KR, k_r, cam_idx, time_idx = make_folded_edges(0, C, T, E, kappa=1e4)
+    KR, k_r, cam_idx, time_idx, R_c_gt = make_folded_edges(0, C, T, E, kappa=1e4)
     gen_s = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    chunked = sort_edges_by_time(KR, k_r, cam_idx, time_idx, T, args.chunk_t)
+    if args.no_wire:
+        chunked = sort_edges_by_time(KR, k_r, cam_idx, time_idx, T, args.chunk_t)
+    else:
+        # the production dict-API route ships int16 quats (k_r = 1 here, so
+        # the folded blocks ARE the rotations)
+        chunked = sort_edges_by_time_wire(KR, k_r, cam_idx, time_idx, T, args.chunk_t)
     chunk_s = time.perf_counter() - t0
 
     def run():
@@ -109,7 +137,8 @@ def main():
         res = so3_sync_large(
             *dev, C=C, T=T, chunk_t=args.chunk_t,
             maxiter=jnp.asarray(args.maxiter, jnp.int32),
-            precision=args.precision,
+            precision=args.precision, filter_dtype=args.filter_dtype,
+            polish_deg=args.polish_deg, cheb_degree_warm=args.cheb_degree_warm,
         )
         r_cam = np.asarray(res.r_cam)  # forced fetch = the only real sync
         evals = np.asarray(res.evals)
@@ -121,6 +150,7 @@ def main():
 
     ortho_err = float(np.abs(r_cam @ r_cam.transpose(0, 2, 1) - np.eye(3)).max())
     assert np.isfinite(r_cam).all() and ortho_err < 1e-2, ortho_err
+    rot_mean_deg, rot_max_deg = gt_rotation_error_deg(r_cam, R_c_gt)
 
     result = {
         "metric": f"so3_sync_large warm wall-clock ({C} cams, {T} timesteps, {E} edges, maxiter={args.maxiter})",
@@ -135,14 +165,20 @@ def main():
             "kernel_evals_max_abs": float(np.abs(evals[:3]).max()),
             "eigengap": float(abs(evals[3] / evals[2])),
             "r_cam_ortho_err": ortho_err,
+            "gt_rot_err_mean_deg": round(rot_mean_deg, 5),
+            "gt_rot_err_max_deg": round(rot_max_deg, 5),
             "precision": args.precision,
+            "filter_dtype": args.filter_dtype,
+            "polish_deg": args.polish_deg,
+            "wire": not args.no_wire,
             "backend": jax.devices()[0].platform,
             "measured_with_forced_fetch": True,
         },
     }
-    out_path = os.path.join(REPO, "benchmarks", "scale_result.json")
-    with open(out_path, "w") as f:
-        json.dump(result, f, indent=1)
+    if not args.no_save:
+        out_path = os.path.join(REPO, "benchmarks", "scale_result.json")
+        with open(out_path, "w") as f:
+            json.dump(result, f, indent=1)
     print(json.dumps(result))
 
 

@@ -58,6 +58,38 @@ def test_chunking_roundtrip(problem):
     assert tloc_s.max() < 64
 
 
+def test_wire_variant_matches_blocks(problem):
+    """int16-quat chunk wire == full (E,3,3) blocks within quantization."""
+    from vican_tpu.solver.scale import sort_edges_by_time_wire
+
+    prob, p = problem
+    C, T = p.num_cams, p.num_times
+    KR = np.asarray(core.fold_constraints(
+        jnp.asarray(p.R_e, jnp.float32), jnp.asarray(p.k_r, jnp.float32),
+        jnp.asarray(p.marker_idx), jnp.asarray(p.R_con, jnp.float32), p.root_idx,
+    ))
+    k32 = p.k_r.astype(np.float32)
+    chunked = sort_edges_by_time(KR, k32, p.cam_idx, p.time_idx, T, 64)
+    blocks = so3_sync_large(
+        *[jnp.asarray(x) for x in chunked], C=C, T=T, chunk_t=64,
+        maxiter=jnp.asarray(4, jnp.int32),
+    )
+    R_fold = KR / np.maximum(k32, 1e-30)[:, None, None]
+    wired = sort_edges_by_time_wire(R_fold, k32, p.cam_idx, p.time_idx, T, 64)
+    assert wired[0].dtype == np.int16 and wired[0].shape[-1] == 4
+    wire = so3_sync_large(
+        *[jnp.asarray(x) for x in wired], C=C, T=T, chunk_t=64,
+        maxiter=jnp.asarray(4, jnp.int32),
+    )
+    # int16 quats perturb inputs by ~4e-5 rad; on this deliberately noisy
+    # fixture the solve amplifies that to ~0.08 deg on its weakly-determined
+    # cameras (the dense-vs-large spread is the same size)
+    d_cam = np.asarray(distance_so3(blocks.r_cam, wire.r_cam))
+    assert d_cam.max() < 0.15, d_cam.max()  # degrees
+    d_time = np.asarray(distance_so3(blocks.r_time, wire.r_time))
+    assert d_time.max() < 0.15, d_time.max()
+
+
 def test_sharded_large_matches_single(problem):
     """shard_map chunk-stream path == single-device large path (8 CPU devs)."""
     from vican_tpu.parallel import make_mesh

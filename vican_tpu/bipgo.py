@@ -216,21 +216,29 @@ def _so3_sync_large_from_packed(
     chunk_t = int(os.environ.get("VICAN_TPU_SCALE_CHUNK_T", 0)) or min(
         T, max(64, -(-T // 8))
     )
-    # "high" (3-pass bf16 big matmuls, ~40% faster at C ~ 10k) perturbs the
-    # rotations ~1e-5 rad — far below the parity budget; see so3_sync_large.
-    precision = os.environ.get("VICAN_TPU_SCALE_PRECISION", "high")
+    # The dominant filter matvecs are governed by filter_dtype (bf16 by
+    # default, with a full-precision polish); the remaining f32 contractions
+    # are bandwidth-bound, so full f32 precision costs nothing extra.
+    precision = os.environ.get("VICAN_TPU_SCALE_PRECISION", "highest")
     cert_tol = 1e-6 / packed.k_r_scale
 
     with tm.phase("Folding constraints (host, chunked)"):
         R0 = packed.R_con[packed.root_idx]
         Rm = packed.R_con[packed.marker_idx]
-        KR = packed.k_r[:, None, None] * np.matmul(
-            packed.R_e, np.matmul(Rm.transpose(0, 2, 1), R0)
-        )
-        chunked = _scale.sort_edges_by_time(
-            KR.astype(dtype), packed.k_r.astype(dtype),
-            packed.cam_idx, packed.time_idx, T, chunk_t,
-        )
+        R_fold = np.matmul(packed.R_e, np.matmul(Rm.transpose(0, 2, 1), R0))
+        if np.dtype(dtype) == np.float32:
+            # compact wire: int16 quats, 8 bytes/edge over the host link
+            # instead of 36 (matches core.se3sync_wire's transfer budget)
+            chunked = _scale.sort_edges_by_time_wire(
+                R_fold, packed.k_r.astype(dtype),
+                packed.cam_idx, packed.time_idx, T, chunk_t,
+            )
+        else:
+            KR = packed.k_r[:, None, None] * R_fold
+            chunked = _scale.sort_edges_by_time(
+                KR.astype(dtype), packed.k_r.astype(dtype),
+                packed.cam_idx, packed.time_idx, T, chunk_t,
+            )
     tm.log(
         "Large-graph path: {} chunks of {} timesteps (block-tensor budget "
         "exceeded)".format(chunked[0].shape[0], chunk_t)
