@@ -265,6 +265,32 @@ class TestReferenceParity:
                                 np.asarray(theirs[k].R(), np.float64)) < 0.057
             assert np.linalg.norm(ours[k].t() - theirs[k].t()) < 1e-3
 
+    def test_small_so3sync_parity(self):
+        """The faithful small-graph variant vs the reference's own
+        ``bipartite_so3sync`` (vican/bipgo.py:18-142): same folding
+        convention, node order, gauge, and (untransposed) output frame."""
+        import contextlib
+        import io
+
+        prob = make_problem(seed=11, n_cams=5, n_times=24, n_markers=5,
+                            p_obs=0.8, kappa_r=1e5, sigma_t=1e-4)
+        nm = lambda e: 1.0 + 0.001 * e["corners"][0, 0]
+        filt = lambda e: True
+        ours = bipgo.bipartite_so3sync(
+            prob.edges, constraints=prob.constraints(), noise_model=nm,
+            edge_filter=filt, maxiter=4, dtype=np.float64, verbose=False,
+        )
+        with contextlib.redirect_stdout(io.StringIO()):
+            theirs = self.ref_bipgo.bipartite_so3sync(
+                self.to_ref_edges(prob.edges),
+                constraints=self.to_ref_constraints(prob.constraints()),
+                noise_model=nm, edge_filter=filt, maxiter=4, dtype=np.float64,
+            )
+        assert set(ours.keys()) == set(theirs.keys())
+        for k in theirs:
+            assert distance_SO3(np.asarray(ours[k], np.float64),
+                                np.asarray(theirs[k], np.float64)) < 0.057, k
+
     def test_so3sync_parity(self):
         prob = make_problem(seed=9, n_cams=8, n_times=50, n_markers=6, kappa_r=1e4)
         nm = lambda e: 1.0

@@ -5,9 +5,10 @@ Drop-in equivalents of the reference entry points (vican/bipgo.py):
 - :func:`bipartite_se3sync`        (bipgo.py:353-490)
 - :func:`object_bipartite_se3sync` (bipgo.py:493-545)
 - :func:`large_bipartite_so3sync`  (bipgo.py:145-350)
-- :func:`bipartite_so3sync`        (alias; the reference's small-graph variant
-  at bipgo.py:18-142 is dead code with a conflicting constraint convention —
-  the live power-graph math is canonical, see SURVEY.md §2 #10)
+- :func:`bipartite_so3sync`        (bipgo.py:18-142 — the small-graph
+  variant, faithfully ported with its OWN conventions; note the reference
+  never calls it and its folding convention conflicts with the live
+  algorithm's, see SURVEY.md §2 #10)
 
 Same edge-dict schema, same callable hooks (``noise_model_r/t``,
 ``edge_filter`` evaluated per edge on the host), same output conventions
@@ -147,26 +148,84 @@ def large_bipartite_so3sync(
     return out
 
 
-def bipartite_so3sync(*args, **kwargs):
-    """Alias of :func:`large_bipartite_so3sync` — NOT the reference's
-    small-graph variant.
+def bipartite_so3sync(
+    src_edges: dict,
+    constraints: dict,
+    noise_model: Callable,
+    edge_filter: Callable,
+    maxiter: int,
+    dtype=np.float32,
+    verbose: bool = True,
+) -> dict:
+    """SO(3) sync on the FULL bipartite connection Laplacian — the
+    reference's small-graph variant (vican/bipgo.py:18-142), faithfully.
 
-    The reference's ``bipartite_so3sync`` (bipgo.py:18-142) is dead code with
-    a conflicting constraint convention: it folds ``R_e @ R_m @ R_0^T`` and
-    returns *untransposed* rotation blocks, whereas the live power-graph
-    algorithm (which this alias runs) folds ``R_e @ R_m^T @ R_0`` and returns
-    world-frame (transposed) rotations (bipgo.py:343-350).  Callers porting
-    code that used the reference's small-graph entry point get the canonical
-    convention here; a warning marks the difference.
+    This entry point intentionally preserves that variant's own conventions,
+    which differ from :func:`large_bipartite_so3sync` (the live VICAN
+    algorithm): constraint folding ``R_e @ R_m @ R_0^T`` (bipgo.py:45, vs
+    the live ``R_e @ R_m^T @ R_0``), a (3n, 3n) Laplacian over cameras AND
+    time nodes with no power-graph elimination, one ``U S U^T`` dual update
+    for every node, exactly ``maxiter`` iterations, and *untransposed*
+    output blocks keyed by camera id and ``"<t>_0"``.  Nodes are ordered
+    lexicographically by their ``'c<id>'``/``'t<id>'`` names like the
+    reference, so the output gauge matches it too.  O((3(C+T))^3) per
+    iteration — use the live algorithm for anything beyond small graphs.
     """
-    warnings.warn(
-        "bipartite_so3sync is an alias of large_bipartite_so3sync: outputs "
-        "are world-frame (transposed) rotations using the live folding "
-        "convention R_e@R_m^T@R_0, not the reference dead-code variant's "
-        "R_e@R_m@R_0^T untransposed blocks",
-        stacklevel=2,
+    import jax
+    import jax.numpy as jnp
+
+    dtype = _solver_dtype(dtype)
+    tm = PhaseTimer(verbose=verbose)
+    if verbose:
+        tm.log(
+            "Received graph with {} nodes {} edges".format(
+                len({n for e in src_edges for n in e}), len(src_edges)
+            )
+        )
+    with tm.phase("Applying constraints"):
+        packed = pack_problem(
+            src_edges, constraints, noise_model, lambda e: 1.0, edge_filter,
+            dtype=dtype,
+        )
+    C, T = packed.num_cams, packed.num_times
+    n = C + T
+    if verbose:
+        tm.log("New SO(3) graph contains {} nodes {} edges".format(n, packed.num_edges))
+
+    # reference node order: np.unique over 'c<cam>'/'t<time>' names
+    names = np.array(
+        ["c" + c for c in packed.cam_ids] + ["t" + t for t in packed.time_ids]
     )
-    return large_bipartite_so3sync(*args, **kwargs)
+    node_of = np.empty(n, np.int32)
+    node_of[np.argsort(names, kind="stable")] = np.arange(n, dtype=np.int32)
+    cam_node = node_of[:C]
+    time_node = node_of[C:]
+    i_idx = cam_node[packed.cam_idx]
+    j_idx = time_node[packed.time_idx]
+
+    arrs = _device_arrays(packed, dtype)
+    with tm.phase("Optimizing (full bipartite Laplacian)"):
+        with jax.default_matmul_precision("highest"):
+            KR = _core.fold_constraints_small(
+                arrs["R_e"], arrs["k_r"], arrs["marker_idx"], arrs["R_con"],
+                packed.root_idx,
+            )
+            r, evals, eigengap = _core.so3_sync_small(
+                KR, arrs["k_r"], jnp.asarray(i_idx), jnp.asarray(j_idx),
+                n=n, maxiter=jnp.asarray(maxiter, jnp.int32),
+            )
+        r = np.asarray(r)
+    if verbose:
+        tm.log(
+            "Eigenvalues: {}  eigengap: {:1.3e}".format(np.asarray(evals), float(eigengap))
+        )
+
+    out = {}
+    for ci, c in enumerate(packed.cam_ids):
+        out[c] = r[cam_node[ci]]
+    for ti, t in enumerate(packed.time_ids):
+        out[t + "_0"] = r[time_node[ti]]
+    return out
 
 
 def _block_budget_bytes() -> int:

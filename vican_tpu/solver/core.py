@@ -50,7 +50,9 @@ HIGHEST = lax.Precision.HIGHEST
 
 __all__ = [
     "fold_constraints",
+    "fold_constraints_small",
     "so3_sync",
+    "so3_sync_small",
     "se3sync_full",
     "se3sync_fused",
     "se3sync_wire",
@@ -86,6 +88,81 @@ def fold_constraints(R_e, k_r, marker_idx, R_con, root_idx):
     return k_r[:, None, None] * jnp.einsum(
         "eij,ekj,kl->eil", R_e, Rm, R0, precision=HIGHEST
     )
+
+
+def fold_constraints_small(R_e, k_r, marker_idx, R_con, root_idx):
+    """Folding of the reference's SMALL-graph variant (bipgo.py:45):
+    ``kr = k_r * R_edge @ R_m @ R_0^T`` — note the conjugation differs from
+    the live algorithm's ``R_edge @ R_m^T @ R_0`` (:func:`fold_constraints`).
+    """
+    if R_e.ndim == 2:
+        R_e = quat_to_mat(R_e)
+    R0 = R_con[root_idx]
+    Rm = R_con[marker_idx]
+    return k_r[:, None, None] * jnp.einsum(
+        "eij,ejk,lk->eil", R_e, Rm, R0, precision=HIGHEST
+    )
+
+
+@partial(jax.jit, static_argnames=("n",))
+def so3_sync_small(KR, k_r, i_idx, j_idx, *, n: int, maxiter):
+    """Faithful device port of the reference's small-graph
+    ``bipartite_so3sync`` (vican/bipgo.py:18-142) — distinct from the live
+    power-graph algorithm in four ways it preserves exactly:
+
+    - the full symmetric (3n, 3n) connection Laplacian over cameras AND
+      time nodes (no power-graph elimination; ``n = C + T``),
+    - a single dual update for ALL nodes from SVDs of ``(R_pairwise r)``
+      blocks (``Lambda = U S U^T``, bipgo.py:119-133; no inverse time dual),
+    - the primal refresh ``r = U V^T`` WITHOUT a determinant fix
+      (bipgo.py:127),
+    - exactly ``maxiter`` iterations, no certificate early-exit, and
+      UNtransposed output blocks (bipgo.py:101,139-141).
+
+    ``i_idx``/``j_idx``: per-edge global node indices (camera/time) in the
+    caller's node order — the reference orders nodes lexicographically by
+    their ``'c<id>'``/``'t<id>'`` names, and the gauge anchors to node 0
+    (bipgo.py:113), so the order is part of the contract.
+    Returns ``(r (n, 3, 3), evals (5,), eigengap)``.
+    """
+    dtype = KR.dtype
+    N = 3 * n
+    a3 = jnp.arange(3, dtype=jnp.int32)
+    rows = 3 * i_idx[:, None, None] + a3[None, :, None]
+    cols = 3 * j_idx[:, None, None] + a3[None, None, :]
+    # duplicate (c, t) edges accumulate — the reference's dict aggregation
+    B = jnp.zeros((N, N), dtype).at[rows, cols].add(KR)
+    B = B + B.T  # mirrored lower blocks (i/j index disjoint node sets)
+
+    deg = jnp.zeros((n,), dtype).at[i_idx].add(k_r).at[j_idx].add(k_r)
+    eye3 = jnp.eye(3, dtype=dtype)
+    lbd0 = deg[:, None, None] * eye3
+
+    def body(_, state):
+        lbd, _, _, _ = state
+        L = _add_block_diag(-B, lbd)
+        L = 0.5 * (L + L.T)
+        evals5, V5 = _bottom5_like_arpack(L)
+        eigengap = jnp.abs(evals5[3] / evals5[2])
+
+        V3 = V5[:, :3]
+        r = jnp.matmul(V3, jnp.linalg.inv(V3[:3, :3]), precision=HIGHEST)
+        r_blocks = project_so3(r.reshape(n, 3, 3))
+
+        Z = jnp.matmul(B, r_blocks.reshape(N, 3), precision=HIGHEST).reshape(n, 3, 3)
+        _, u, s, vt = svd3_so3(Z)
+        r_out = jnp.matmul(u, vt, precision=HIGHEST)  # no det fix (bipgo.py:127)
+        lbd_new = jnp.einsum("nab,nb,ndb->nad", u, s, u, precision=HIGHEST)
+        return (lbd_new, r_out, evals5, eigengap)
+
+    init = (
+        lbd0,
+        jnp.broadcast_to(eye3, (n, 3, 3)),
+        jnp.zeros((5,), dtype),
+        jnp.asarray(0.0, dtype),
+    )
+    _, r_out, evals5, eigengap = lax.fori_loop(0, maxiter, body, init)
+    return r_out, evals5, eigengap
 
 
 def _power_graph(B3, lbd_t):

@@ -508,11 +508,11 @@ def so3_sync_large(
     cert_tol=1e-6,
     cheb_degree: int = 60,
     cheb_rounds: int = 2,
-    cheb_degree_warm: int = 60,
+    cheb_degree_warm: int = 40,
     subspace: int = 10,
     precision: str = "highest",
     filter_dtype: str = "auto",
-    polish_deg: int = 10,
+    polish_deg: int = 8,
 ) -> SyncResult:
     """Primal-dual SO(3) sync without the dense (C, 3, T, 3) block tensor
     and without ever materializing the (3C, 3C) power graph.
@@ -601,11 +601,11 @@ def so3_sync_large_sharded(
     cert_tol=1e-6,
     cheb_degree: int = 60,
     cheb_rounds: int = 2,
-    cheb_degree_warm: int = 60,
+    cheb_degree_warm: int = 40,
     subspace: int = 10,
     precision: str = "highest",
     filter_dtype: str = "auto",
-    polish_deg: int = 10,
+    polish_deg: int = 8,
 ) -> SyncResult:
     """Multi-chip large-graph SO(3) sync: the chunk stream sharded over the
     mesh's first axis.
