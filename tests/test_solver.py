@@ -340,7 +340,8 @@ def test_wire_format_matches_fused():
           | (p.eidx[:, 1].astype(np.int64) << mb)
           | p.eidx[:, 2]).astype(np.int32)
     wire[:, 7] = iv.view(np.float32)
-    _, out_w = core.se3sync_wire(jnp.asarray(wire), Rc, tc, **kw)
+    con = np.concatenate([p.R_con.reshape(M, 9), p.t_con], axis=1).astype(np.float32)
+    _, out_w = core.se3sync_wire(jnp.asarray(wire), jnp.asarray(con), **kw)
 
     N = C + T
     of, ow = np.asarray(out_f), np.asarray(out_w)

@@ -523,8 +523,6 @@ def bipartite_se3sync(
                     maxiter=jnp.asarray(maxiter, jnp.int32),
                     cert_tol=1e-6 / packed.k_r_scale,
                 )
-                R_con_d = jnp.asarray(packed.R_con, dtype)
-                t_con_d = jnp.asarray(packed.t_con, dtype)
                 if np.dtype(dtype) == np.float32 and cb + tb + mb <= 31:
                     # 32-byte/edge wire format (see core.se3sync_wire)
                     E = packed.num_edges
@@ -541,13 +539,18 @@ def bipartite_se3sync(
                         | packed.eidx[:, 2]
                     ).astype(np.int32)
                     wire[:, 7] = iv.view(np.float32)
+                    M_con = packed.R_con.shape[0]
+                    con = np.concatenate(
+                        [packed.R_con.reshape(M_con, 9), packed.t_con], axis=1
+                    ).astype(np.float32)
                     result, fused_out = _core.se3sync_wire(
-                        jnp.asarray(wire), R_con_d, t_con_d, **kw
+                        jnp.asarray(wire), jnp.asarray(con), **kw
                     )
                 else:
                     result, fused_out = _core.se3sync_fused(
                         jnp.asarray(packed.edata, dtype), jnp.asarray(packed.eidx),
-                        R_con_d, t_con_d, **kw
+                        jnp.asarray(packed.R_con, dtype),
+                        jnp.asarray(packed.t_con, dtype), **kw
                     )
                 out_packed = np.asarray(fused_out)
                 res = out_packed[C + T, 0]
