@@ -353,3 +353,21 @@ def test_wire_format_matches_fused():
     # tests above run through the wire path)
     assert d.max() < 0.2, d.max()  # degrees
     assert np.abs(of[:N, 9:] - ow[:N, 9:]).max() < 5e-3
+
+
+def test_dense_cg_matvec_matches_scatter():
+    """The dense (C, T)-adjacency A^T A matvec == the per-edge scatter
+    formulation (the >budget fallback) on random weighted graphs."""
+    import jax.numpy as jnp
+
+    from vican_tpu.solver import core
+
+    rng = np.random.default_rng(21)
+    C, T, E = 13, 37, 400
+    cam = jnp.asarray(rng.integers(0, C, E), jnp.int32)
+    tim = jnp.asarray(rng.integers(0, T, E), jnp.int32)
+    k2 = jnp.asarray(rng.uniform(0.1, 2.0, E), jnp.float32)
+    x = jnp.asarray(rng.normal(size=(C + T, 3)), jnp.float32)
+    dense = core._make_normal_mv(k2, cam, tim, C, T, jnp.float32)(x)
+    scatter = core._normal_matvec(x, k2, cam, tim, C, T)
+    assert np.allclose(np.asarray(dense), np.asarray(scatter), atol=1e-4)
