@@ -96,6 +96,31 @@ def test_wire_variant_matches_blocks(problem):
     assert d_time.max() < 0.15, d_time.max()
 
 
+def test_streaming_fallback_matches_materialized(problem):
+    """The >HBM streaming branch (per-chunk re-scatter + per-iteration dense
+    power graph) == the flat materialized operator, forced via a tiny
+    materialize_budget."""
+    prob, p = problem
+    C, T = p.num_cams, p.num_times
+    KR = np.asarray(core.fold_constraints(
+        jnp.asarray(p.R_e, jnp.float32), jnp.asarray(p.k_r, jnp.float32),
+        jnp.asarray(p.marker_idx), jnp.asarray(p.R_con, jnp.float32), p.root_idx,
+    ))
+    k32 = p.k_r.astype(np.float32)
+    chunked = [jnp.asarray(x) for x in
+               sort_edges_by_time(KR, k32, p.cam_idx, p.time_idx, T, 64)]
+    mat = so3_sync_large(*chunked, C=C, T=T, chunk_t=64,
+                         maxiter=jnp.asarray(4, jnp.int32))
+    stream = so3_sync_large(*chunked, C=C, T=T, chunk_t=64,
+                            maxiter=jnp.asarray(4, jnp.int32),
+                            materialize_budget=1)
+    d_cam = np.asarray(distance_so3(mat.r_cam, stream.r_cam))
+    # identical math, different contraction order: f32 rounding only (plus
+    # this fixture's near-optimum sensitivity; see the parity test note)
+    assert d_cam.max() < 0.15, d_cam.max()
+    assert np.isfinite(np.asarray(stream.evals)).all()
+
+
 def test_sharded_large_matches_single(problem):
     """shard_map chunk-stream path == single-device large path (8 CPU devs)."""
     from vican_tpu.parallel import make_mesh

@@ -493,7 +493,7 @@ def _subspace_init(n, m, dtype):
 
 @partial(jax.jit, static_argnames=(
     "C", "T", "chunk_t", "cheb_degree", "cheb_rounds", "cheb_degree_warm",
-    "subspace", "precision", "filter_dtype", "polish_deg",
+    "subspace", "precision", "filter_dtype", "polish_deg", "materialize_budget",
 ))
 def so3_sync_large(
     KR_s,
@@ -513,6 +513,7 @@ def so3_sync_large(
     precision: str = "highest",
     filter_dtype: str = "auto",
     polish_deg: int = 8,
+    materialize_budget: int = _MATERIALIZE_BUDGET_BYTES,
 ) -> SyncResult:
     """Primal-dual SO(3) sync without the dense (C, 3, T, 3) block tensor
     and without ever materializing the (3C, 3C) power graph.
@@ -548,7 +549,8 @@ def so3_sync_large(
     deg_c = jnp.zeros((C,), dtype).at[cam_s.reshape(-1)].add(k_s.reshape(-1))
 
     prepare, time_products = _make_operator(
-        KR_s, k_s, cam_s, tloc_s, C=C, chunk_t=chunk_t, prec=prec, f_dtype=f_dtype
+        KR_s, k_s, cam_s, tloc_s, C=C, chunk_t=chunk_t, prec=prec,
+        f_dtype=f_dtype, budget=materialize_budget,
     )
 
     eye3 = jnp.eye(3, dtype=dtype)
@@ -606,6 +608,7 @@ def so3_sync_large_sharded(
     precision: str = "highest",
     filter_dtype: str = "auto",
     polish_deg: int = 8,
+    materialize_budget: int = _MATERIALIZE_BUDGET_BYTES,
 ) -> SyncResult:
     """Multi-chip large-graph SO(3) sync: the chunk stream sharded over the
     mesh's first axis.
@@ -660,7 +663,7 @@ def so3_sync_large_sharded(
 
         local_prepare, local_tp = _make_operator(
             KR_l, k_l, cam_l, tloc_l, C=C, chunk_t=chunk_t, prec=prec,
-            f_dtype=f_dtype,
+            f_dtype=f_dtype, budget=materialize_budget,
         )
 
         def prepare(lbd_c, lbd_t_l, inv_scale):
