@@ -51,7 +51,7 @@ def detect(dataset, path, use_cached):
     return edges
 
 
-def make_synthetic(root):
+def make_synthetic(root, n_room=40, n_cube=60, res=(1280, 720)):
     """Render a small synthetic pair of datasets (room + cube calib)."""
     from vican_tpu.cam import Camera
     from vican_tpu.geometry import SE3, rodrigues
@@ -60,11 +60,12 @@ def make_synthetic(root):
     global MARKER_SIZE
     MARKER_SIZE = 0.138
     rng = np.random.default_rng(0)
-    K = np.array([[700.0, 0, 640], [0, 700.0, 360], [0, 0, 1]])
+    W, H = res
+    K = np.array([[0.55 * (W + H), 0, W / 2], [0, 0.55 * (W + H), H / 2], [0, 0, 1.0]])
     cams = {
         str(i): Camera(id=str(i), intrinsics=K, distortion=np.zeros(12),
                        extrinsics=look_at(p, (0, 0, 1.0)),
-                       resolution_x=1280, resolution_y=720)
+                       resolution_x=W, resolution_y=H)
         for i, p in enumerate([(3, 0, 1.2), (0, 3, 1.5), (-3, 0, 1.0), (0, -3, 1.3)])
     }
     markers = make_cube_markers()
@@ -84,12 +85,12 @@ def make_synthetic(root):
     cube = os.path.join(root, "cube_calib_synth")
     if not os.path.isdir(room):
         print("rendering synthetic datasets...")
-        render_dataset(room, cams, traj(40, 1), markers, marker_size=MARKER_SIZE)
+        render_dataset(room, cams, traj(n_room, 1), markers, marker_size=MARKER_SIZE)
         # calibration capture: one close-up camera so every face is seen well
         calib_cam = Camera(id="0", intrinsics=K, distortion=np.zeros(12),
                            extrinsics=look_at((1.3, 0.2, 1.1), (0, 0, 1.0)),
-                           resolution_x=1280, resolution_y=720)
-        render_dataset(cube, {"0": calib_cam}, traj(60, 2), markers,
+                           resolution_x=W, resolution_y=H)
+        render_dataset(cube, {"0": calib_cam}, traj(n_cube, 2), markers,
                        marker_size=MARKER_SIZE)
     return room, cube
 
@@ -101,6 +102,8 @@ def main():
     ap.add_argument("--synthetic", action="store_true")
     ap.add_argument("--use-cached-edges", action="store_true")
     ap.add_argument("--tmax", type=int, default=2000)
+    ap.add_argument("--quick", action="store_true",
+                    help="tiny synthetic config (CI smoke: fewer frames, 640x360)")
     args = ap.parse_args()
 
     # The notebook's area**6 translation weights assume dense captures
@@ -108,7 +111,12 @@ def main():
     # weight on a handful of edges, so synthetic mode uses area**2.
     obj_t_power = 6.0
     if args.synthetic:
-        args.dataset, args.obj_dataset = make_synthetic("./_synthetic")
+        if args.quick:
+            args.dataset, args.obj_dataset = make_synthetic(
+                "./_synthetic_quick", n_room=16, n_cube=24, res=(960, 540)
+            )
+        else:
+            args.dataset, args.obj_dataset = make_synthetic("./_synthetic")
         obj_t_power = 2.0
 
     dataset = Dataset(root=args.dataset)
