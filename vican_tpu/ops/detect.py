@@ -517,55 +517,70 @@ def decode_quads(gray, quads, valid, table, n_bits: int, params: DetectorParams)
     S = params.decode_samples
     # strict matching unless a budget was resolved (resolve_error_correction)
     ec_bits = params.error_correction_bits if params.error_correction_bits is not None else 0
-    # sample offsets inside each cell (avoid cell edges)
-    lin = (jnp.arange(S) + 0.5) / S
+
+    border_mask = jnp.zeros((cells, cells), bool).at[0, :].set(True)
+    border_mask = border_mask.at[-1, :].set(True).at[:, 0].set(True).at[:, -1].set(True)
+    max_border_errs = jnp.floor(params.max_border_err_rate * (4 * cells - 4))
 
     def one(quad, is_valid):
         Hm = _quad_homography(quad, cells)
 
-        def cell_samples(r, c):
-            u = c + lin[None, :]
-            v = r + lin[:, None]
-            ones = jnp.ones_like(u * v)
-            uv1 = jnp.stack([u * ones, v * ones, ones], axis=-1)  # (S,S,3)
-            p = jnp.einsum("ij,stj->sti", Hm, uv1)
-            x = p[..., 0] / p[..., 2]
-            y = p[..., 1] / p[..., 2]
-            return _bilinear(gray, x, y)  # (S,S)
+        def attempt(frac):
+            """Decode with bit samples spanning the central ``frac`` of each
+            cell.  Full-cell sampling (frac = 1) averages the most pixels —
+            best under noise; a tight central window resists cross-cell
+            bleed when cells are only a couple of pixels wide."""
+            lin = ((jnp.arange(S) + 0.5) / S) * frac + (1.0 - frac) * 0.5
 
-        rr, cc = jnp.mgrid[0:cells, 0:cells]
-        samples = jax.vmap(jax.vmap(cell_samples))(
-            rr.astype(jnp.float32), cc.astype(jnp.float32)
-        )  # (cells, cells, S, S)
-        means = samples.mean(axis=(2, 3))
+            def cell_samples(r, c):
+                u = c + lin[None, :]
+                v = r + lin[:, None]
+                ones = jnp.ones_like(u * v)
+                uv1 = jnp.stack([u * ones, v * ones, ones], axis=-1)  # (S,S,3)
+                p = jnp.einsum("ij,stj->sti", Hm, uv1)
+                x = p[..., 0] / p[..., 2]
+                y = p[..., 1] / p[..., 2]
+                return _bilinear(gray, x, y)  # (S,S)
 
-        # Otsu threshold over all sampled intensities + per-cell majority —
-        # OpenCV's extraction scheme; far more robust on oblique/blurred
-        # quads than a midrange threshold of cell means (recall parity with
-        # cv2 on the rendered test scenes came from exactly this change).
-        tau = _otsu(samples.reshape(-1))
-        bits = (jnp.mean(samples > tau, axis=(2, 3)) > 0.5).astype(jnp.uint8)
+            rr, cc = jnp.mgrid[0:cells, 0:cells]
+            samples = jax.vmap(jax.vmap(cell_samples))(
+                rr.astype(jnp.float32), cc.astype(jnp.float32)
+            )  # (cells, cells, S, S)
+            means = samples.mean(axis=(2, 3))
 
-        border_mask = jnp.zeros((cells, cells), bool).at[0, :].set(True)
-        border_mask = border_mask.at[-1, :].set(True).at[:, 0].set(True).at[:, -1].set(True)
-        border_errs = jnp.sum(jnp.where(border_mask, bits, 0))
-        max_border_errs = jnp.floor(params.max_border_err_rate * (4 * cells - 4))
-        border_ok = border_errs <= max_border_errs
-        # contrast gate: a real marker has distinctly dark border cells
-        contrast_ok = (means.max() - means.min()) > params.min_cell_contrast
+            # Otsu threshold over all sampled intensities + per-cell
+            # majority — OpenCV's extraction scheme; far more robust on
+            # oblique/blurred quads than a midrange threshold of cell means
+            # (recall parity with cv2 came from exactly this change).
+            tau = _otsu(samples.reshape(-1))
+            bits = (jnp.mean(samples > tau, axis=(2, 3)) > 0.5).astype(jnp.uint8)
 
-        inner = bits[1:-1, 1:-1].reshape(-1)  # (n_bits^2,) row-major
-        dists = jnp.sum(inner[None, None, :] != table, axis=-1)  # (size, 4)
-        best_flat = jnp.argmin(dists.reshape(-1))
-        best_id = (best_flat // 4).astype(jnp.int32)
-        best_rot = (best_flat % 4).astype(jnp.int32)
-        best_dist = dists.reshape(-1)[best_flat]
-        ok = (
-            is_valid
-            & border_ok
-            & contrast_ok
-            & (best_dist <= ec_bits)
-        )
+            border_errs = jnp.sum(jnp.where(border_mask, bits, 0))
+            border_ok = border_errs <= max_border_errs
+            # contrast gate: a real marker has distinctly dark border cells
+            contrast_ok = (means.max() - means.min()) > params.min_cell_contrast
+
+            inner = bits[1:-1, 1:-1].reshape(-1)  # (n_bits^2,) row-major
+            dists = jnp.sum(inner[None, None, :] != table, axis=-1)  # (size, 4)
+            best_flat = jnp.argmin(dists.reshape(-1))
+            best_id = (best_flat // 4).astype(jnp.int32)
+            best_rot = (best_flat % 4).astype(jnp.int32)
+            best_dist = dists.reshape(-1)[best_flat]
+            ok = is_valid & border_ok & contrast_ok & (best_dist <= ec_bits)
+            return best_id, best_rot, ok
+
+        # Primary pass: full-cell sampling.  Second chance for quads it
+        # rejects: a central-half window — at 12-16 px markers (2-3 px
+        # cells) full-cell samples straddle cell boundaries and flip 1-2
+        # bits, which strict matching (correctly) refuses to correct.  The
+        # matching itself stays strict in BOTH passes, so the zero-false-id
+        # property is preserved; measured +3 true detections on the oblique
+        # cube scenes with no change elsewhere.
+        id1, rot1, ok1 = attempt(1.0)
+        id2, rot2, ok2 = attempt(0.5)
+        best_id = jnp.where(ok1, id1, id2)
+        best_rot = jnp.where(ok1, rot1, rot2)
+        ok = ok1 | ok2
         # roll corners so index 0 = canonical top-left
         idx = (jnp.arange(4) + best_rot) % 4
         corners = quad[idx]
