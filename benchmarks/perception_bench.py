@@ -1,0 +1,116 @@
+"""Perception throughput benchmark: images -> edge dict (img/s per mode).
+
+Renders a reusable synthetic cube scene (same generator as the tutorial),
+then times ``estimate_pose_batched`` in each pipeline mode with a forced
+fetch at the end (CLAUDE.md measurement rules).  Prints one JSON line per
+mode; optionally writes ``benchmarks/perception_result.json``.
+
+The device mode's packed-mask D2H (~W*H/8 bytes per window per image) is
+the dominant cost on a remote-tunnel host (~25 MB/s); on a PCIe host the
+same transfers are ~1 ms.  See BASELINE.md.
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
+def make_scene(root, n_frames, res):
+    from vican_tpu.cam import Camera
+    from vican_tpu.geometry import SE3, rodrigues
+    from vican_tpu.render import look_at, make_cube_markers, render_dataset
+
+    W, H = res
+    K = np.array([[0.55 * (W + H), 0, W / 2], [0, 0.55 * (W + H), H / 2], [0, 0, 1.0]])
+    cams = {
+        "0": Camera(id="0", intrinsics=K, distortion=np.zeros(12),
+                    extrinsics=look_at((2.2, 0.3, 1.2), (0, 0, 1.0)),
+                    resolution_x=W, resolution_y=H)
+    }
+    rng = np.random.default_rng(4)
+    traj = {}
+    for t in range(n_frames):
+        v = rng.normal(size=3)
+        v = v / np.linalg.norm(v) * rng.uniform(0, np.pi)
+        traj[str(t)] = SE3(R=rodrigues(v), t=np.array([0.0, 0.0, 1.0]))
+    if not os.path.isdir(root):
+        render_dataset(root, cams, traj, make_cube_markers(), marker_size=0.48 * 0.575)
+    return root
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=48)
+    ap.add_argument("--res", default="1280x720")
+    ap.add_argument("--batch-size", type=int, default=16)
+    ap.add_argument("--modes", default="device,host,pure")
+    ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--no-save", action="store_true")
+    args = ap.parse_args()
+    W, H = map(int, args.res.split("x"))
+
+    from vican_tpu.dataset import Dataset
+    from vican_tpu.perception import estimate_pose_batched
+
+    root = make_scene(
+        os.path.join(REPO, "_synthetic", f"perception_bench_{W}x{H}_{args.frames}"),
+        args.frames, (W, H),
+    )
+    ds = Dataset(root)
+    files = ds.im_data["filename"]
+    cams = ds.im_data["cam"]
+
+    results = {}
+    for mode in args.modes.split(","):
+        def run():
+            t0 = time.perf_counter()
+            edges = estimate_pose_batched(
+                files, cams, aruco="DICT_4X4_1000", marker_size=0.48 * 0.575,
+                corner_refine="CORNER_REFINE_APRILTAG", brightness=0,
+                contrast=0, flags="SOLVEPNP_IPPE_SQUARE",
+                batch_size=args.batch_size, pipeline_mode=mode, verbose=False,
+            )
+            # the edge dict is already host-side numpy: construction IS the sync
+            return time.perf_counter() - t0, len(edges)
+
+        try:
+            _warm, n_det = run()
+            times = sorted(run()[0] for _ in range(args.reps))
+            sec = times[len(times) // 2]
+            results[mode] = {
+                "img_per_s": round(len(files) / sec, 2),
+                "wall_s": round(sec, 2),
+                "detections": n_det,
+                "first_call_s": round(_warm, 1),
+            }
+        except Exception as e:  # a mode unavailable on this host
+            results[mode] = {"error": repr(e)[:200]}
+        print(json.dumps({
+            "metric": f"perception {mode} mode ({args.frames} frames {W}x{H}, batch {args.batch_size})",
+            "value": results[mode].get("img_per_s"),
+            "unit": "img/s",
+            "details": results[mode],
+            "backend": jax.devices()[0].platform,
+        }))
+
+    if not args.no_save:
+        with open(os.path.join(REPO, "benchmarks", "perception_result.json"), "w") as f:
+            json.dump({"res": args.res, "frames": args.frames,
+                       "batch_size": args.batch_size, "modes": results,
+                       "backend": jax.devices()[0].platform}, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

@@ -167,6 +167,26 @@ class TestRecovery:
         # two iterative solutions agree to ~1e-4 m, not machine precision.
         assert np.abs(spread).max() < 1e-3, np.abs(spread).max()
 
+    def test_single_timestep_network(self):
+        """Snapshot calibration: many cameras, ONE timestep (T = 1) — the
+        power-graph/time-dual shapes at their lower boundary."""
+        prob = make_problem(seed=30, n_cams=6, n_times=1, n_markers=8,
+                            p_obs=1.0, kappa_r=1e6, sigma_t=1e-5)
+        est = bipgo.bipartite_se3sync(
+            prob.edges,
+            constraints=prob.constraints(),
+            noise_model_r=lambda e: 1.0,
+            noise_model_t=lambda e: 1.0,
+            edge_filter=lambda e: True,
+            maxiter=4,
+            dtype=np.float64,
+            verbose=False,
+        )
+        r_err, t_err = gauge_aligned_errors(prob.cams_gt, est)
+        assert len(r_err) == 6
+        assert r_err.mean() < 0.5, r_err
+        assert t_err.mean() < 0.02, t_err
+
     def test_empty_after_filter_raises(self):
         prob = make_problem(seed=6, n_cams=3, n_times=10, n_markers=4)
         with pytest.raises(ValueError):
