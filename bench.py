@@ -22,14 +22,15 @@ import numpy as np
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 
+sys.path.insert(0, REPO)
+
 # Persistent XLA compilation cache: the fused solver program compiles in
 # minutes through the remote-compile tunnel; cache it across bench runs.
 import jax  # noqa: E402
 
-jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-sys.path.insert(0, REPO)
+from vican_tpu.utils import enable_compile_cache  # noqa: E402
+
+enable_compile_cache(REPO)
 CACHE_PATH = os.path.join(REPO, "benchmarks", "baseline_cache.json")
 REFERENCE = "/root/reference"
 
@@ -60,11 +61,11 @@ def run_ours(prob):
 
     _warm, out = once()  # compile + cache shapes
     times = []
-    for _ in range(5):
+    for _ in range(7):  # median-of-7: robust to multi-second tunnel hiccups
         t, out = once()
         times.append(t)
     times.sort()
-    return times[len(times) // 2], times, _warm, out  # median of 5
+    return times[len(times) // 2], times, _warm, out
 
 
 def run_reference(prob):
@@ -139,7 +140,7 @@ def main():
     vs = (baseline_s / ours_s) if baseline_s else None
     details = {
         "first_call_s": round(warm_s, 2),
-        "runs_s_sorted": [round(t, 3) for t in all_runs],  # value = median of 5
+        "runs_s_sorted": [round(t, 3) for t in all_runs],  # value = median of 7
         "baseline_scipy_s": round(baseline_s, 2) if baseline_s else None,
         "rot_err_deg_mean": round(r_err, 5),
         "trans_err_m_mean": round(t_err, 6),

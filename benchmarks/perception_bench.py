@@ -22,31 +22,15 @@ sys.path.insert(0, REPO)
 
 import jax  # noqa: E402
 
-jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+from vican_tpu.utils import enable_compile_cache  # noqa: E402
+
+enable_compile_cache(REPO)
 
 
 def make_scene(root, n_frames, res):
-    from vican_tpu.cam import Camera
-    from vican_tpu.geometry import SE3, rodrigues
-    from vican_tpu.render import look_at, make_cube_markers, render_dataset
+    from vican_tpu.synthetic import render_cube_scene
 
-    W, H = res
-    K = np.array([[0.55 * (W + H), 0, W / 2], [0, 0.55 * (W + H), H / 2], [0, 0, 1.0]])
-    cams = {
-        "0": Camera(id="0", intrinsics=K, distortion=np.zeros(12),
-                    extrinsics=look_at((2.2, 0.3, 1.2), (0, 0, 1.0)),
-                    resolution_x=W, resolution_y=H)
-    }
-    rng = np.random.default_rng(4)
-    traj = {}
-    for t in range(n_frames):
-        v = rng.normal(size=3)
-        v = v / np.linalg.norm(v) * rng.uniform(0, np.pi)
-        traj[str(t)] = SE3(R=rodrigues(v), t=np.array([0.0, 0.0, 1.0]))
-    if not os.path.isdir(root):
-        render_dataset(root, cams, traj, make_cube_markers(), marker_size=0.48 * 0.575)
+    render_cube_scene(root, [(2.2, 0.3, 1.2)], n_frames, seed=4, res=res)
     return root
 
 
@@ -56,7 +40,7 @@ def main():
     ap.add_argument("--res", default="1280x720")
     ap.add_argument("--batch-size", type=int, default=16)
     ap.add_argument("--modes", default="device,host,pure")
-    ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--reps", type=int, default=3)  # odd: times[n//2] is a true median
     ap.add_argument("--no-save", action="store_true")
     args = ap.parse_args()
     W, H = map(int, args.res.split("x"))

@@ -16,9 +16,9 @@ sys.path.insert(0, REPO)
 
 import jax  # noqa: E402
 
-jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+from vican_tpu.utils import enable_compile_cache  # noqa: E402
+
+enable_compile_cache(REPO)
 
 import jax.numpy as jnp  # noqa: E402
 

@@ -52,46 +52,25 @@ def detect(dataset, path, use_cached):
 
 
 def make_synthetic(root, n_room=40, n_cube=60, res=(1280, 720)):
-    """Render a small synthetic pair of datasets (room + cube calib)."""
-    from vican_tpu.cam import Camera
-    from vican_tpu.geometry import SE3, rodrigues
-    from vican_tpu.render import look_at, make_cube_markers, render_dataset
+    """Render a small synthetic pair of datasets (room + cube calib) via the
+    shared scene recipe (vican_tpu.synthetic.render_cube_scene)."""
+    from vican_tpu.synthetic import render_cube_scene
 
     global MARKER_SIZE
     MARKER_SIZE = 0.138
-    rng = np.random.default_rng(0)
-    W, H = res
-    K = np.array([[0.55 * (W + H), 0, W / 2], [0, 0.55 * (W + H), H / 2], [0, 0, 1.0]])
-    cams = {
-        str(i): Camera(id=str(i), intrinsics=K, distortion=np.zeros(12),
-                       extrinsics=look_at(p, (0, 0, 1.0)),
-                       resolution_x=W, resolution_y=H)
-        for i, p in enumerate([(3, 0, 1.2), (0, 3, 1.5), (-3, 0, 1.0), (0, -3, 1.3)])
-    }
-    markers = make_cube_markers()
-
-    def traj(n, seed):
-        r = np.random.default_rng(seed)
-        out = {}
-        for t in range(n):
-            v = r.normal(size=3)
-            v = v / np.linalg.norm(v) * r.uniform(0, np.pi)
-            out[str(t)] = SE3(R=rodrigues(v),
-                              t=np.array([r.uniform(-0.5, 0.5), r.uniform(-0.5, 0.5),
-                                          1.0 + r.uniform(-0.3, 0.3)]))
-        return out
-
     room = os.path.join(root, "small_room_synth")
     cube = os.path.join(root, "cube_calib_synth")
     if not os.path.isdir(room):
         print("rendering synthetic datasets...")
-        render_dataset(room, cams, traj(n_room, 1), markers, marker_size=MARKER_SIZE)
-        # calibration capture: one close-up camera so every face is seen well
-        calib_cam = Camera(id="0", intrinsics=K, distortion=np.zeros(12),
-                           extrinsics=look_at((1.3, 0.2, 1.1), (0, 0, 1.0)),
-                           resolution_x=W, resolution_y=H)
-        render_dataset(cube, {"0": calib_cam}, traj(n_cube, 2), markers,
-                       marker_size=MARKER_SIZE)
+    render_cube_scene(
+        room, [(3, 0, 1.2), (0, 3, 1.5), (-3, 0, 1.0), (0, -3, 1.3)],
+        n_room, seed=1, res=res, marker_size=MARKER_SIZE, wander=True,
+    )
+    # calibration capture: one close-up camera so every face is seen well
+    render_cube_scene(
+        cube, [(1.3, 0.2, 1.1)], n_cube, seed=2, res=res,
+        marker_size=MARKER_SIZE, wander=True,
+    )
     return room, cube
 
 

@@ -146,6 +146,33 @@ def test_sharded_large_matches_single(problem):
     d_time = np.asarray(distance_so3(single.r_time, sharded.r_time))
     assert d_time.max() < 1e-4, d_time.max()
 
+    # wire chunks through the sharded path, with a chunk count NOT divisible
+    # by the 8-device mesh (T=256, chunk_t=24 -> 11 chunks): exercises the
+    # identity-quat padding of the padded chunks (zero quats would NaN
+    # through quat_to_mat's normalization)
+    from vican_tpu.solver.scale import sort_edges_by_time_wire
+
+    k32 = p.k_r.astype(np.float32)
+    wired = sort_edges_by_time_wire(
+        KR.astype(np.float32) / np.maximum(k32, 1e-30)[:, None, None],
+        k32, p.cam_idx, p.time_idx, T, 24,
+    )
+    assert wired[0].shape[0] % 8 != 0  # forces pad_chunks > 0
+    sharded_w = so3_sync_large_sharded(
+        *wired, C=C, T=T, chunk_t=24, maxiter=4, mesh=mesh,
+    )
+    single_w = so3_sync_large(
+        *[jnp.asarray(x) for x in wired], C=C, T=T, chunk_t=24,
+        maxiter=jnp.asarray(4, jnp.int32),
+    )
+    assert np.isfinite(np.asarray(sharded_w.r_cam)).all()
+    d_cam = np.asarray(distance_so3(single_w.r_cam, sharded_w.r_cam))
+    # the wire pair runs in f32 (dtype follows k_s): psum reduction order
+    # differs from the single-chip sum, and this fixture amplifies f32
+    # rounding to ~0.05 deg on its weakly-determined cameras (the f64
+    # non-wire pair above stays at 1e-4)
+    assert d_cam.max() < 0.15, d_cam.max()
+
 
 def test_dict_api_routes_to_scale_path(problem, monkeypatch, capsys):
     """bipartite_se3sync reroutes to the chunked path past the block-tensor

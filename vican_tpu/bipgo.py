@@ -285,9 +285,12 @@ def _so3_sync_large_from_packed(
         R0 = packed.R_con[packed.root_idx]
         Rm = packed.R_con[packed.marker_idx]
         R_fold = np.matmul(packed.R_e, np.matmul(Rm.transpose(0, 2, 1), R0))
-        if np.dtype(dtype) == np.float32:
+        if np.dtype(dtype) == np.float32 and packed.has_quats:
             # compact wire: int16 quats, 8 bytes/edge over the host link
-            # instead of 36 (matches core.se3sync_wire's transfer budget)
+            # instead of 36 (matches core.se3sync_wire's transfer budget).
+            # Gated on has_quats like the fused route: when the packer's
+            # orthonormality gate failed, the raw matrices must be folded
+            # as-is (reference behavior), not quat-projected.
             chunked = _scale.sort_edges_by_time_wire(
                 R_fold, packed.k_r.astype(dtype),
                 packed.cam_idx, packed.time_idx, T, chunk_t,

@@ -130,7 +130,7 @@ def sort_edges_by_time_wire(R_fold, k_r, cam_idx, time_idx, T: int, chunk_t: int
     from .packing import _mat_to_quat
 
     q = _mat_to_quat(np.asarray(R_fold, np.float64))
-    q16 = np.round(q * 32767.0).astype(np.int16)
+    q16 = np.clip(np.round(q * 32767.0), -32767, 32767).astype(np.int16)
     ident = np.array([32767, 0, 0, 0], np.int16)
     (q16_s, k_s, cam_s), tloc_s = _chunk_pack(
         (q16, k_r, np.asarray(cam_idx, np.int32)), (ident, 0, 0),

@@ -15,7 +15,7 @@ import numpy as np
 
 from .geometry import SE3, rodrigues
 
-__all__ = ["SyntheticProblem", "make_problem", "make_problem_arrays"]
+__all__ = ["SyntheticProblem", "make_problem", "make_problem_arrays", "render_cube_scene"]
 
 
 class SyntheticProblem:
@@ -203,3 +203,54 @@ def make_problem_arrays(
     markers_gt = {str(m): SE3(R=Rm[m], t=tm[m]) for m in range(n_markers)}
     obj_gt = {str(t): SE3(R=Ro[t], t=to[t]) for t in range(n_times)}
     return SyntheticProblem(cams_gt, obj_gt, markers_gt, edges)
+
+
+def render_cube_scene(
+    root,
+    cam_positions,
+    n_frames: int,
+    seed: int,
+    *,
+    res=(1280, 720),
+    marker_size: float = 0.48 * 0.575,
+    wander: bool = False,
+    aruco: str = "DICT_4X4_1000",
+    target=(0.0, 0.0, 1.0),
+):
+    """Render a synthetic marker-cube capture to ``root`` (image pipeline).
+
+    Shared scene recipe for the tutorial, the perception benchmark, and any
+    image-level fixture: cameras at ``cam_positions`` looking at ``target``
+    with f = 0.55 (W + H), the 24-marker cube tumbling at the target
+    (``wander=True`` adds the tutorial's positional jitter).  Skips
+    rendering when ``root`` already exists.  Returns ``(cams, traj)``.
+    """
+    import os
+
+    from .cam import Camera
+    from .render import look_at, make_cube_markers, render_dataset
+
+    W, H = res
+    f = 0.55 * (W + H)
+    K = np.array([[f, 0, W / 2.0], [0, f, H / 2.0], [0, 0, 1.0]])
+    cams = {
+        str(i): Camera(id=str(i), intrinsics=K, distortion=np.zeros(12),
+                       extrinsics=look_at(p, target),
+                       resolution_x=W, resolution_y=H)
+        for i, p in enumerate(cam_positions)
+    }
+    rng = np.random.default_rng(seed)
+    traj = {}
+    for t in range(n_frames):
+        v = rng.normal(size=3)
+        v = v / np.linalg.norm(v) * rng.uniform(0.0, np.pi)
+        if wander:
+            pos = np.array([rng.uniform(-0.5, 0.5), rng.uniform(-0.5, 0.5),
+                            target[2] + rng.uniform(-0.3, 0.3)])
+        else:
+            pos = np.asarray(target, float)
+        traj[str(t)] = SE3(R=rodrigues(v), t=pos)
+    if not os.path.isdir(root):
+        render_dataset(root, cams, traj, make_cube_markers(aruco),
+                       marker_size=marker_size)
+    return cams, traj
