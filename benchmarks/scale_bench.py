@@ -37,20 +37,14 @@ def make_folded_edges(seed, C, T, E, kappa):
     measured by bench.py; this isolates the device solver at a scale where
     a 1M-entry Python dict would dominate setup time, not solve time).
     """
+    from vican_tpu.solver.packing import _quat_to_mat
+
     rng = np.random.default_rng(seed)
 
     def rand_rots(n):
         q = rng.normal(size=(n, 4))
         q /= np.linalg.norm(q, axis=1, keepdims=True)
-        w, x, y, z = q.T
-        return np.stack(
-            [
-                np.stack([1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)], -1),
-                np.stack([2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)], -1),
-                np.stack([2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)], -1),
-            ],
-            axis=-2,
-        )
+        return _quat_to_mat(q)
 
     R_c = rand_rots(C)
     R_t = rand_rots(T)

@@ -15,6 +15,13 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Honor JAX_PLATFORMS on hosts whose sitecustomize pins a platform (the
+# axon tunnel re-applies itself at startup; the config update wins).
+if os.environ.get("JAX_PLATFORMS"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 from vican_tpu.bipgo import bipartite_se3sync
 from vican_tpu.evaluation import evaluate_calibration
 from vican_tpu.synthetic import make_problem

@@ -222,6 +222,38 @@ def test_dict_api_scale_path_sharded(problem, monkeypatch):
         assert np.allclose(single[n].pose(), sharded[n].pose(), atol=1e-3)
 
 
+def test_scale_route_f64_uses_host_translation_fallback(problem, monkeypatch, capsys):
+    """An f64 request on an f32-only backend routed to the large-graph path
+    must still get the host-f64 translation solve (same contract as the
+    dense route), not a silent device-f32 downgrade."""
+    import warnings as _w
+
+    import jax
+
+    from vican_tpu import bipgo
+
+    prob, _ = problem
+    monkeypatch.setenv("VICAN_TPU_BLOCK_BUDGET_BYTES", "1")
+    monkeypatch.setenv("VICAN_TPU_SCALE_CHUNK_T", "64")
+    jax.config.update("jax_enable_x64", False)  # simulate the TPU default
+    try:
+        with _w.catch_warnings():
+            _w.simplefilter("ignore")  # the documented f64-downgrade warning
+            out = bipgo.bipartite_se3sync(
+                prob.edges, constraints=prob.constraints(),
+                noise_model_r=lambda e: 1.0, noise_model_t=lambda e: 1.0,
+                edge_filter=lambda e: True, maxiter=4, dtype=np.float64,
+                verbose=True,
+            )
+    finally:
+        jax.config.update("jax_enable_x64", True)
+    logs = capsys.readouterr().out
+    assert "Large-graph path" in logs
+    assert "host float64" in logs, logs
+    t = next(iter(out.values())).t()
+    assert np.isfinite(t).all()
+
+
 def test_high_precision_variant_matches(problem):
     """precision='high' (3-pass bf16 big matmuls on TPU) is accepted and
     agrees with 'highest' (identical on CPU where f32 matmuls are exact; on

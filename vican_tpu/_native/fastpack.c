@@ -104,6 +104,16 @@ static PyObject *pack_edges2(PyObject *self, PyObject *args) {
         PyObject *key, *value;
         Py_ssize_t pos = 0;
         while (PyDict_Next(src_edges, &pos, &key, &value)) {
+            /* The buffers were sized from the dict's initial length; the
+             * user callables run below and could (incorrectly) grow the
+             * dict mid-iteration — guard the capacity instead of writing
+             * past the allocations. */
+            if (E >= n) {
+                PyErr_SetString(PyExc_RuntimeError,
+                                "edge dict grew during packing (noise-model/"
+                                "edge-filter callables must not mutate it)");
+                goto fail;
+            }
             PyObject *keep = PyObject_CallFunctionObjArgs(edge_filter, value, NULL);
             if (keep == NULL) goto fail;
             int truth = PyObject_IsTrue(keep);

@@ -192,16 +192,12 @@ def bipartite_so3sync(
     if verbose:
         tm.log("New SO(3) graph contains {} nodes {} edges".format(n, packed.num_edges))
 
-    # reference node order: np.unique over 'c<cam>'/'t<time>' names
-    names = np.array(
-        ["c" + c for c in packed.cam_ids] + ["t" + t for t in packed.time_ids]
-    )
-    node_of = np.empty(n, np.int32)
-    node_of[np.argsort(names, kind="stable")] = np.arange(n, dtype=np.int32)
-    cam_node = node_of[:C]
-    time_node = node_of[C:]
-    i_idx = cam_node[packed.cam_idx]
-    j_idx = time_node[packed.time_idx]
+    # Reference node order = np.unique over 'c<cam>'/'t<time>' names
+    # (bipgo.py:54-55).  packed.cam_ids/time_ids are already sorted and every
+    # 'c*' name sorts before every 't*' name, so that order is exactly
+    # [cameras..., times...] — no remapping needed.
+    i_idx = np.asarray(packed.cam_idx, np.int32)
+    j_idx = C + np.asarray(packed.time_idx, np.int32)
 
     arrs = _device_arrays(packed, dtype)
     with tm.phase("Optimizing (full bipartite Laplacian)"):
@@ -222,9 +218,9 @@ def bipartite_so3sync(
 
     out = {}
     for ci, c in enumerate(packed.cam_ids):
-        out[c] = r[cam_node[ci]]
+        out[c] = r[ci]
     for ti, t in enumerate(packed.time_ids):
-        out[t + "_0"] = r[time_node[ti]]
+        out[t + "_0"] = r[C + ti]
     return out
 
 
@@ -301,9 +297,16 @@ def _so3_sync_large_from_packed(
                 KR.astype(dtype), packed.k_r.astype(dtype),
                 packed.cam_idx, packed.time_idx, T, chunk_t,
             )
+    block_bytes = C * T * 9 * np.dtype(dtype).itemsize
+    reason = (
+        "block-tensor budget exceeded"
+        if block_bytes > _block_budget_bytes()
+        else "camera count past the dense-eigh threshold"
+    )
     tm.log(
-        "Large-graph path: {} chunks of {} timesteps (block-tensor budget "
-        "exceeded)".format(chunked[0].shape[0], chunk_t)
+        "Large-graph path: {} chunks of {} timesteps ({})".format(
+            chunked[0].shape[0], chunk_t, reason
+        )
     )
 
     with tm.phase("Optimizing (chunked power graph)") as ev:
@@ -330,20 +333,46 @@ def _so3_sync_large_from_packed(
 
 
 def _se3sync_scale_path(
-    packed: PackedProblem, dtype, maxiter, lsqr_solver, tm, verbose, mesh=None
+    packed: PackedProblem, dtype, maxiter, lsqr_solver, tm, verbose,
+    mesh=None, requested=None,
 ) -> dict:
     """The 10k-camera route: chunked power graph + matrix-free translations.
 
     Same algorithm and output contract as the dense path; the (C,3,T,3)
     block tensor is replaced by a stream of (3C, 3Tc) chunk matmuls
     (:func:`vican_tpu.solver.scale.so3_sync_large`), optionally sharded over
-    a device mesh (SURVEY.md §5 sequence parallelism).
+    a device mesh (SURVEY.md §5 sequence parallelism).  ``requested`` is the
+    caller's original dtype: an f64 request on an f32 device gets the same
+    host-f64 translation fallback (or explicit downgrade warning) as the
+    dense route.
     """
     import jax
     import jax.numpy as jnp
 
+    from .solver.host_fallback import MAX_HOST_EDGES, solve_translations_host
+
     C, T = packed.num_cams, packed.num_times
     result = _so3_sync_large_from_packed(packed, dtype, maxiter, tm, verbose, mesh)
+
+    if requested is not None and np.dtype(requested) == np.float64 and dtype != np.float64:
+        if packed.num_edges <= MAX_HOST_EDGES:
+            with tm.phase("Solving translations (host float64)"):
+                t_est, res = solve_translations_host(
+                    packed, np.asarray(result.r_cam), np.asarray(result.r_time),
+                    lsqr_solver,
+                )
+            res = float(res)
+            if res > 1e-3:
+                warnings.warn(f"translation solve residual {res:.3e} (poorly converged)")
+            out = _scale_path_out(packed, result, t_est, C)
+            tm.log("Done!")
+            return out
+        warnings.warn(
+            f"float64 requested but the problem has {packed.num_edges} edges "
+            f"(> MAX_HOST_EDGES={MAX_HOST_EDGES}): the host-f64 translation "
+            "fallback is disabled at this size and the whole solve proceeds "
+            "in device float32"
+        )
 
     with tm.phase("Solving translations (matrix-free)"):
         t_e = jnp.asarray(packed.t_e, dtype)
@@ -370,7 +399,12 @@ def _se3sync_scale_path(
     res = float(res)
     if res > 1e-3:
         warnings.warn(f"translation solve residual {res:.3e} (poorly converged)")
+    out = _scale_path_out(packed, result, t_est, C)
+    tm.log("Done!")
+    return out
 
+
+def _scale_path_out(packed, result, t_est, C):
     r_cam = np.asarray(result.r_cam)
     r_time = np.asarray(result.r_time)
     out = {}
@@ -378,7 +412,6 @@ def _se3sync_scale_path(
         out[c] = SE3(R=r_cam[i], t=t_est[i])
     for j, t in enumerate(packed.time_ids):
         out[t + "_0"] = SE3(R=r_time[j], t=t_est[C + j])
-    tm.log("Done!")
     return out
 
 
@@ -440,7 +473,8 @@ def bipartite_se3sync(
     C, T = packed.num_cams, packed.num_times
     if _use_scale_path(C, T, dtype):
         return _se3sync_scale_path(
-            packed, dtype, maxiter, lsqr_solver, tm, verbose, mesh=mesh
+            packed, dtype, maxiter, lsqr_solver, tm, verbose, mesh=mesh,
+            requested=requested,
         )
 
     # The fused CG path ships packed.edata/eidx directly; the other branches
