@@ -263,3 +263,36 @@ class TestEndToEnd:
             brightness=0, contrast=0,
         )
         assert out is None  # reference semantics: no detections -> None
+
+
+def test_mixed_resolution_cameras(tmp_path):
+    """Heterogeneous rigs: the reference processes images independently, so
+    cameras with different resolutions must work through the batched
+    pipeline (per-resolution groups, merged edge dict)."""
+    from vican_tpu.cam import estimate_pose_mp
+    from vican_tpu.dataset import Dataset
+    from vican_tpu.synthetic import render_cube_scene
+
+    roots = []
+    for name, res in [("hi", (640, 360)), ("lo", (480, 270))]:
+        root = str(tmp_path / name)
+        render_cube_scene(root, [(2.0, 0.3, 1.2)], 3, seed=11, res=res,
+                          marker_size=0.2)
+        roots.append(root)
+    files, cams = [], []
+    for gi, root in enumerate(roots):
+        ds = Dataset(root)
+        files += ds.im_data["filename"]
+        for c in ds.im_data["cam"]:
+            c.id = f"g{gi}_{c.id}"  # a real rig has unique camera ids
+            cams.append(c)
+    edges = estimate_pose_mp(
+        im_filenames=files, cams=cams, aruco="DICT_4X4_1000",
+        marker_size=0.2, corner_refine="CORNER_REFINE_APRILTAG",
+        marker_ids=None, flags="SOLVEPNP_IPPE_SQUARE", brightness=0,
+        contrast=0, batch_size=4, verbose=False,
+    )
+    seen_cams = {k[0] for k in edges}
+    # detections from BOTH resolution groups
+    assert any(c.startswith("g0") for c in seen_cams), seen_cams
+    assert any(c.startswith("g1") for c in seen_cams), seen_cams

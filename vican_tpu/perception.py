@@ -370,6 +370,30 @@ def estimate_pose_batched(
     params = D_.resolve_error_correction(params, aruco)
     mode = _resolve_mode(pipeline_mode)
 
+    # Mixed-resolution captures: the reference runs one OpenCV pipeline per
+    # image (cam.py:190-265), so heterogeneous rigs are legal input.  The
+    # batched device programs need uniform shapes — split into per-resolution
+    # groups (declared camera resolution) and merge the edge dicts.
+    res_of = lambda c: (getattr(c, "resolution_y", None), getattr(c, "resolution_x", None))
+    resolutions = {res_of(c) for c in cams}
+    if len(resolutions) > 1:
+        groups: dict = {}
+        for fn, cam in zip(im_filenames, cams):
+            g = groups.setdefault(res_of(cam), ([], []))
+            g[0].append(fn)
+            g[1].append(cam)
+        out_all: dict = {}
+        for (h, w), (fns, cs) in groups.items():
+            if verbose:
+                print(f"Resolution group {w}x{h}: {len(fns)} images")
+            out_all.update(estimate_pose_batched(
+                fns, cs, aruco, marker_size, corner_refine, brightness,
+                contrast, flags, batch_size=batch_size, lm_iters=lm_iters,
+                detector_params=detector_params, mesh=mesh,
+                pipeline_mode=mode, verbose=verbose,
+            ))
+        return out_all
+
     out: dict = {}
     B = batch_size
     Wn = len(params.win_sizes)
