@@ -335,3 +335,29 @@ class TestRecallVsOpenCV:
                 n_hit += int(int(mid) in ours)
         assert n_vis >= 40  # scene sanity
         assert n_hit / n_vis >= 0.9, (n_hit, n_vis)
+
+
+class TestLargeMarkers:
+    def test_close_range_hollowed_rings(self, table, cv_dict):
+        """Markers whose border ring is thicker than the largest adaptive-
+        threshold window (35 px) hollow into thin square annuli; the
+        outline-acceptance candidate gate must still recover them (OpenCV's
+        contour extraction does; our fill-ratio gate alone did not)."""
+        for size in (300, 420):
+            img = np.full((540, 720), 170, np.uint8)
+            m = cv_dict.generateImageMarker(7, size)
+            y, x = (540 - size) // 2, (720 - size) // 2
+            img[y : y + size, x : x + size] = m
+            params = detect.DetectorParams()
+            params = detect.resolve_error_correction(params, DICT)
+            det = detect.detect_markers(
+                jnp.asarray(img, jnp.float32), table, 4, params
+            )
+            ok = np.asarray(det.valid)
+            ids = np.asarray(det.ids)[ok]
+            assert 7 in ids, (size, ids)
+            corners = np.asarray(det.corners)[ok][list(ids).index(7)]
+            gt = np.array([[x - 0.5, y - 0.5], [x + size - 0.5, y - 0.5],
+                           [x + size - 0.5, y + size - 0.5], [x - 0.5, y + size - 0.5]])
+            err = min(np.abs(np.roll(gt, r, 0) - corners).max() for r in range(4))
+            assert err < 1.0, (size, err)

@@ -304,8 +304,12 @@ def extract_quads(labels, params: DetectorParams) -> QuadCandidates:
         crosses = edges[:, 0] * e_next[:, 1] - edges[:, 1] * e_next[:, 0]
         convex = (crosses > 0).all() | (crosses < 0).all()
         # the component must fill a reasonable fraction of its quad (border
-        # rings fill ~50-60%; thin diagonal junk does not)
+        # rings fill ~50-60%) OR be a ring/outline at least ~1 px thick
+        # along the quad perimeter — large markers hollow under the
+        # adaptive threshold into thin square annuli whose fill ratio
+        # drops with size (see perception._quad_gates)
         fill = area.astype(jnp.float32) / jnp.maximum(quad_area, 1.0)
+        outline = area.astype(jnp.float32) >= jnp.maximum(edge_len.sum(), 1.0)
         valid = (
             (label != BIG)
             & (area >= params.min_area)
@@ -313,7 +317,7 @@ def extract_quads(labels, params: DetectorParams) -> QuadCandidates:
             & (edge_len.min() >= 5.0)
             & inside
             & convex
-            & (fill > 0.2)
+            & ((fill > 0.2) | outline)
         )
         return quad, valid, quad_area
 

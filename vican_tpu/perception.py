@@ -100,12 +100,21 @@ def _quad_gates(quads: np.ndarray, areas: np.ndarray, H: int, W: int, params) ->
         & (quads[..., 1] <= H - 1 - m).all(-1)
     )
     fill = areas / np.maximum(quad_area, 1.0)
+    # Solid-enough blob OR a ring/outline: large markers hollow under the
+    # adaptive threshold (window << border-ring thickness leaves only a
+    # ~win/2 band along each edge), so their component is a thin square
+    # annulus whose fill ratio drops with marker size.  An annulus of
+    # thickness t has area ~ t * perimeter — accept components at least
+    # 1 px "thick" along their quad outline (OpenCV's contour-based
+    # extraction has no fill gate at all; decode gates are the backstop).
+    perim = edge_len.sum(-1)
+    outline = areas >= np.maximum(perim, 1.0)
     return (
         (areas >= params.min_area)
         & (edge_len.min(-1) >= 5.0)
         & inside
         & convex
-        & (fill > 0.2)
+        & ((fill > 0.2) | outline)
     )
 
 
