@@ -98,7 +98,9 @@ def main():
     print(f"XLA  matmul (w={w}): {t*1e3:.1f} ms  ({nbytes/t:.0f} GB/s)", flush=True)
     ref = np.asarray(xla(A, X))
 
-    for bm, bk in [(512, 1024), (256, 2048), (1024, 1024), (512, 2048)]:
+    # only tilings that DIVIDE (M, K) are valid — a non-dividing grid
+    # floor-divides away the remainder and reports inflated GB/s
+    for bm, bk in [(512, 1024), (256, 1024), (128, 1024)]:
         try:
             f = lambda a, x: pallas_mv(a, x, bm=bm, bk=bk, w=w)
             o = np.asarray(f(A, X))

@@ -340,9 +340,13 @@ class TestRecallVsOpenCV:
 class TestLargeMarkers:
     def test_close_range_hollowed_rings(self, table, cv_dict):
         """Markers whose border ring is thicker than the largest adaptive-
-        threshold window (35 px) hollow into thin square annuli; the
-        outline-acceptance candidate gate must still recover them (OpenCV's
-        contour extraction does; our fill-ratio gate alone did not)."""
+        threshold window (33 px -> markers above ~250 px) hollow into thin
+        square annuli; the outline-acceptance candidate gate must recover
+        them (OpenCV's contour extraction does; our fill-ratio gate alone
+        did not) — through BOTH the pure-device path and the production C
+        quad extractor."""
+        from vican_tpu.perception import host_candidates, host_preprocess
+
         for size in (300, 420):
             img = np.full((540, 720), 170, np.uint8)
             m = cv_dict.generateImageMarker(7, size)
@@ -350,6 +354,10 @@ class TestLargeMarkers:
             img[y : y + size, x : x + size] = m
             params = detect.DetectorParams()
             params = detect.resolve_error_correction(params, DICT)
+            gt = np.array([[x - 0.5, y - 0.5], [x + size - 0.5, y - 0.5],
+                           [x + size - 0.5, y + size - 0.5], [x - 0.5, y + size - 0.5]])
+
+            # pure-device path (extract_quads gates)
             det = detect.detect_markers(
                 jnp.asarray(img, jnp.float32), table, 4, params
             )
@@ -357,7 +365,16 @@ class TestLargeMarkers:
             ids = np.asarray(det.ids)[ok]
             assert 7 in ids, (size, ids)
             corners = np.asarray(det.corners)[ok][list(ids).index(7)]
-            gt = np.array([[x - 0.5, y - 0.5], [x + size - 0.5, y - 0.5],
-                           [x + size - 0.5, y + size - 0.5], [x - 0.5, y + size - 0.5]])
             err = min(np.abs(np.roll(gt, r, 0) - corners).max() for r in range(4))
             assert err < 1.0, (size, err)
+
+            # production host/device-mode candidate path (C extractor +
+            # perception._quad_gates): the outer-square quad must survive
+            gray = host_preprocess(img[None], 0.0, 0.0)
+            quads, valid, _ = host_candidates(gray, params)
+            qv = quads[0][valid[0]]
+            best = min(
+                min(np.abs(np.roll(gt, r, 0) - q).max() for r in range(4))
+                for q in qv
+            )
+            assert best < 3.0, (size, best)  # pre-refinement candidate

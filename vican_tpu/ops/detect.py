@@ -306,10 +306,14 @@ def extract_quads(labels, params: DetectorParams) -> QuadCandidates:
         # the component must fill a reasonable fraction of its quad (border
         # rings fill ~50-60%) OR be a ring/outline at least ~1 px thick
         # along the quad perimeter — large markers hollow under the
-        # adaptive threshold into thin square annuli whose fill ratio
-        # drops with size (see perception._quad_gates)
+        # adaptive threshold into thin square annuli whose fill ratio drops
+        # with size; the outline alternative only opens at quad sizes where
+        # hollowing can occur (see perception._quad_gates)
         fill = area.astype(jnp.float32) / jnp.maximum(quad_area, 1.0)
-        outline = area.astype(jnp.float32) >= jnp.maximum(edge_len.sum(), 1.0)
+        min_hollow_side = 4.0 * max(params.win_sizes)
+        outline = (
+            area.astype(jnp.float32) >= jnp.maximum(edge_len.sum(), 1.0)
+        ) & (quad_area >= min_hollow_side * min_hollow_side)
         valid = (
             (label != BIG)
             & (area >= params.min_area)

@@ -105,10 +105,15 @@ def _quad_gates(quads: np.ndarray, areas: np.ndarray, H: int, W: int, params) ->
     # ~win/2 band along each edge), so their component is a thin square
     # annulus whose fill ratio drops with marker size.  An annulus of
     # thickness t has area ~ t * perimeter — accept components at least
-    # 1 px "thick" along their quad outline (OpenCV's contour-based
-    # extraction has no fill gate at all; decode gates are the backstop).
+    # 1 px "thick" along their quad outline, but ONLY at the quad sizes
+    # where hollowing can occur (ring thickness = side/6 exceeding the
+    # largest window), so ordinary-size junk keeps facing the fill gate
+    # (OpenCV's contour extraction has no fill gate; decode is the backstop).
     perim = edge_len.sum(-1)
-    outline = areas >= np.maximum(perim, 1.0)
+    min_hollow_side = 4.0 * max(params.win_sizes)
+    outline = (areas >= np.maximum(perim, 1.0)) & (
+        quad_area >= min_hollow_side * min_hollow_side
+    )
     return (
         (areas >= params.min_area)
         & (edge_len.min(-1) >= 5.0)
@@ -369,23 +374,16 @@ def estimate_pose_batched(
     from .ops import detect as D_
     from .ops.dictionary import get_dictionary, marker_bits_table
 
-    refine_kind = resolve(CORNER_REFINE, corner_refine, "corner_refine")
-    resolve(PNP_FLAGS, flags, "flags")  # always the IPPE-square path today
-    _, n_bits = get_dictionary(aruco)
-    table = jnp.asarray(marker_bits_table(aruco))
-
-    params = detector_params or D_.DetectorParams()
-    params = params._replace(corner_refine=refine_kind)
-    params = D_.resolve_error_correction(params, aruco)
     mode = _resolve_mode(pipeline_mode)
 
     # Mixed-resolution captures: the reference runs one OpenCV pipeline per
     # image (cam.py:190-265), so heterogeneous rigs are legal input.  The
     # batched device programs need uniform shapes — split into per-resolution
-    # groups (declared camera resolution) and merge the edge dicts.
+    # groups (declared camera resolution) and merge the edge dicts.  Done
+    # BEFORE the registry/dictionary-table setup so that work happens once
+    # per group, not once wasted at the top level.
     res_of = lambda c: (getattr(c, "resolution_y", None), getattr(c, "resolution_x", None))
-    resolutions = {res_of(c) for c in cams}
-    if len(resolutions) > 1:
+    if len({res_of(c) for c in cams}) > 1:
         groups: dict = {}
         for fn, cam in zip(im_filenames, cams):
             g = groups.setdefault(res_of(cam), ([], []))
@@ -402,6 +400,15 @@ def estimate_pose_batched(
                 pipeline_mode=mode, verbose=verbose,
             ))
         return out_all
+
+    refine_kind = resolve(CORNER_REFINE, corner_refine, "corner_refine")
+    resolve(PNP_FLAGS, flags, "flags")  # always the IPPE-square path today
+    _, n_bits = get_dictionary(aruco)
+    table = jnp.asarray(marker_bits_table(aruco))
+
+    params = detector_params or D_.DetectorParams()
+    params = params._replace(corner_refine=refine_kind)
+    params = D_.resolve_error_correction(params, aruco)
 
     out: dict = {}
     B = batch_size
