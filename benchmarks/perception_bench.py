@@ -34,6 +34,61 @@ def make_scene(root, n_frames, res):
     return root
 
 
+def _install_legacy_aruco_shims():
+    """Make the reference's OpenCV 4.x aruco calls work on OpenCV >= 4.7/5.
+
+    The reference (vican/cam.py:127-147) uses ``Dictionary_get``,
+    ``DetectorParameters_create`` and the free-function ``detectMarkers`` —
+    all removed in the new aruco API.  These shims map them onto the new
+    API 1:1 (same parameters object, same return convention) so the
+    reference's own ``estimate_pose_mp`` runs verbatim; ``mp.Pool`` workers
+    inherit the patched module state via fork.
+    """
+    import cv2 as cv
+
+    if hasattr(cv.aruco, "Dictionary_get"):
+        return  # genuine old API present
+    cv.aruco.Dictionary_get = cv.aruco.getPredefinedDictionary
+    cv.aruco.DetectorParameters_create = cv.aruco.DetectorParameters
+
+    def detect_markers(im, dictionary, parameters=None):
+        det = cv.aruco.ArucoDetector(dictionary, parameters)
+        return det.detectMarkers(im)
+
+    cv.aruco.detectMarkers = detect_markers
+
+
+def run_reference(files, ref_cams, marker_ids):
+    """Run the actual reference pipeline (/root/reference) on the scene."""
+    sys.path.insert(0, "/root/reference")
+    _install_legacy_aruco_shims()
+    from vican.cam import estimate_pose_mp  # noqa: E402  (the reference's)
+
+    return estimate_pose_mp(
+        files, ref_cams, aruco="DICT_4X4_1000", marker_size=0.48 * 0.575,
+        corner_refine="CORNER_REFINE_APRILTAG", brightness=0, contrast=0,
+        flags="SOLVEPNP_IPPE_SQUARE", marker_ids=marker_ids,
+    )
+
+
+def to_reference_cams(cams):
+    """Convert our Camera records to reference vican.cam.Camera objects."""
+    from vican.cam import Camera as RefCamera  # after sys.path insert
+    from vican.geometry import SE3 as RefSE3
+
+    out = []
+    for c in cams:
+        ext = c.extrinsics
+        out.append(RefCamera(
+            id=c.id,
+            intrinsics=np.asarray(c.intrinsics, np.float64),
+            distortion=np.asarray(c.distortion, np.float64),
+            extrinsics=RefSE3(R=ext.R(), t=ext.t()) if ext is not None else None,
+            resolution_x=c.resolution_x, resolution_y=c.resolution_y,
+        ))
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=48)
@@ -57,20 +112,31 @@ def main():
     cams = ds.im_data["cam"]
 
     results = {}
+    keys_of: dict = {}
     for mode in args.modes.split(","):
-        def run():
-            t0 = time.perf_counter()
-            edges = estimate_pose_batched(
-                files, cams, aruco="DICT_4X4_1000", marker_size=0.48 * 0.575,
-                corner_refine="CORNER_REFINE_APRILTAG", brightness=0,
-                contrast=0, flags="SOLVEPNP_IPPE_SQUARE",
-                batch_size=args.batch_size, pipeline_mode=mode, verbose=False,
-            )
-            # the edge dict is already host-side numpy: construction IS the sync
-            return time.perf_counter() - t0, len(edges)
+        if mode == "reference":
+            sys.path.insert(0, "/root/reference")
+            ref_cams = to_reference_cams(cams)
+            marker_ids = [str(i) for i in range(24)]
+
+            def run():
+                t0 = time.perf_counter()
+                edges = run_reference(files, ref_cams, marker_ids)
+                return time.perf_counter() - t0, len(edges), set(edges)
+        else:
+            def run(mode=mode):
+                t0 = time.perf_counter()
+                edges = estimate_pose_batched(
+                    files, cams, aruco="DICT_4X4_1000", marker_size=0.48 * 0.575,
+                    corner_refine="CORNER_REFINE_APRILTAG", brightness=0,
+                    contrast=0, flags="SOLVEPNP_IPPE_SQUARE",
+                    batch_size=args.batch_size, pipeline_mode=mode, verbose=False,
+                )
+                # the edge dict is already host-side numpy: construction IS the sync
+                return time.perf_counter() - t0, len(edges), set(edges)
 
         try:
-            _warm, n_det = run()
+            _warm, n_det, keys_of[mode] = run()
             times = sorted(run()[0] for _ in range(args.reps))
             sec = times[len(times) // 2]
             results[mode] = {
@@ -88,6 +154,18 @@ def main():
             "details": results[mode],
             "backend": jax.devices()[0].platform,
         }))
+
+    # Detection-set overlap vs the default mode (VERDICT r2 item 1: the
+    # speedup claim needs a per-mode detection diff next to the rates).
+    base = next((m for m in ("device", "host", "pure", "reference") if m in keys_of), None)
+    for mode, keys in keys_of.items():
+        if base is None or mode == base:
+            continue
+        results[mode]["overlap_vs_" + base] = {
+            "common": len(keys & keys_of[base]),
+            "only_" + mode: sorted(map(str, keys - keys_of[base]))[:40],
+            "only_" + base: sorted(map(str, keys_of[base] - keys))[:40],
+        }
 
     if not args.no_save:
         with open(os.path.join(REPO, "benchmarks", "perception_result.json"), "w") as f:

@@ -1,7 +1,8 @@
 """Micro-profile of the large-graph solver path on the real device.
 
-Isolates, with forced fetches (CLAUDE.md: block_until_ready is a no-op under
-axon): H2D transfer of the chunked arrays, per-primal-dual-iteration cost
+Isolates, with forced fetches (CLAUDE.md: under jax 0.9 block_until_ready
+waits for device compute but NOT D2H — always force a fetch when timing):
+H2D transfer of the chunked arrays, per-primal-dual-iteration cost
 (maxiter deltas — maxiter is a traced scalar, so no recompiles), and the
 chunk-sort host stage.  Throwaway diagnostics; not part of the bench contract.
 """

@@ -59,6 +59,27 @@ def _solver_dtype(dtype):
     return dtype
 
 
+def _log_sync_result(tm: PhaseTimer, result) -> None:
+    """Per-iteration diagnostics, comparable to the reference's tqdm postfix
+    (bipgo.py:336-340: eigenvalues + eigengap every primal-dual iteration),
+    followed by the final summary line."""
+    n = int(result.num_iters)
+    if result.evals_hist is not None:
+        eh = np.asarray(result.evals_hist)
+        gh = np.asarray(result.gap_hist)
+        for i in range(min(n, eh.shape[0])):
+            tm.log(
+                "  it {}/{}: evals: {}  eigengap: {:1.3e}".format(
+                    i + 1, n, np.array2string(eh[i], precision=3), float(gh[i])
+                )
+            )
+    tm.log(
+        "Iterations: {}  evals: {}  eigengap: {:1.3e}".format(
+            n, np.asarray(result.evals), float(result.eigengap)
+        )
+    )
+
+
 def _device_arrays(packed: PackedProblem, dtype):
     import jax.numpy as jnp
 
@@ -132,11 +153,7 @@ def large_bipartite_so3sync(
                 )
             ev["sync"] = result
         if verbose:
-            tm.log(
-                "Iterations: {}  evals: {}  eigengap: {:1.3e}".format(
-                    int(result.num_iters), np.asarray(result.evals), float(result.eigengap)
-                )
-            )
+            _log_sync_result(tm, result)
 
     r_cam = np.asarray(result.r_cam)
     r_time = np.asarray(result.r_time)
@@ -324,11 +341,7 @@ def _so3_sync_large_from_packed(
                 )
         ev["sync"] = result
     if verbose:
-        tm.log(
-            "Iterations: {}  evals: {}  eigengap: {:1.3e}".format(
-                int(result.num_iters), np.asarray(result.evals), float(result.eigengap)
-            )
-        )
+        _log_sync_result(tm, result)
     return result
 
 
@@ -527,11 +540,7 @@ def bipartite_se3sync(
             t_est, res = solve_translations_host(packed, r_cam, r_time, lsqr_solver)
             ev["sync"] = result
         if verbose:
-            tm.log(
-                "Iterations: {}  evals: {}  eigengap: {:1.3e}".format(
-                    int(result.num_iters), np.asarray(result.evals), float(result.eigengap)
-                )
-            )
+            _log_sync_result(tm, result)
         if res > 1e-3:
             warnings.warn(f"translation solve residual {res:.3e} (poorly converged)")
         out = {}
@@ -623,11 +632,7 @@ def bipartite_se3sync(
         ev["sync"] = (result, out_packed if out_packed is not None
                       else (poses44 if poses44 is not None else t_est))
     if verbose:
-        tm.log(
-            "Iterations: {}  evals: {}  eigengap: {:1.3e}".format(
-                int(result.num_iters), np.asarray(result.evals), float(result.eigengap)
-            )
-        )
+        _log_sync_result(tm, result)
     res = float(res)
     if res > 1e-3:
         warnings.warn(f"translation solve residual {res:.3e} (poorly converged)")

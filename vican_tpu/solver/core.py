@@ -63,6 +63,11 @@ __all__ = [
 ]
 
 
+# Capacity of the per-iteration diagnostic histories (the reference runs
+# maxiter=4; iterations past the cap keep overwriting the last slot).
+HIST_CAP = 32
+
+
 class SyncResult(NamedTuple):
     """Output of :func:`so3_sync` (all world-frame, like bipgo.py:343-350)."""
 
@@ -71,6 +76,11 @@ class SyncResult(NamedTuple):
     evals: jnp.ndarray  # (5,) final eigenvalues nearest -1e-6 (diagnostics)
     eigengap: jnp.ndarray  # |evals[3]/evals[2]| of the final iteration
     num_iters: jnp.ndarray  # iterations actually executed
+    # Per-iteration histories (reference bipgo.py:336-340 prints eigenvalues
+    # + eigengap in the tqdm postfix every primal-dual iteration); rows past
+    # num_iters are zero.  None on entry points that predate the histories.
+    evals_hist: jnp.ndarray | None = None  # (HIST_CAP, 5)
+    gap_hist: jnp.ndarray | None = None  # (HIST_CAP,)
 
 
 def fold_constraints(R_e, k_r, marker_idx, R_con, root_idx):
@@ -244,7 +254,7 @@ def so3_sync(KR, k_r, cam_idx, time_idx, *, C: int, T: int, maxiter, cert_tol=1e
         return (it < maxiter) & (max_eval > cert_tol)
 
     def body(state):
-        it, _, lbd_c, lbd_t, _, _, _, _ = state
+        it, _, lbd_c, lbd_t, _, _, _, _, ev_hist, gap_hist = state
 
         # Laplacian of the current power graph (bipgo.py:285-286 /
         # refresh at :334 folded into the loop top).
@@ -277,7 +287,13 @@ def so3_sync(KR, k_r, cam_idx, time_idx, *, C: int, T: int, maxiter, cert_tol=1e
         st_inv = jnp.where(st > 1e-9 * st[..., :1], 1.0 / jnp.maximum(st, 1e-30), 0.0)
         lbd_t_new = jnp.einsum("tab,tb,tdb->tad", ut, st_inv, ut, precision=HIGHEST)
 
-        return (it + 1, max_eval, lbd_c_new, lbd_t_new, r_c, r_t, evals5, eigengap)
+        slot = jnp.minimum(it, HIST_CAP - 1)
+        ev_hist_new = ev_hist.at[slot].set(evals5)
+        gap_hist_new = gap_hist.at[slot].set(eigengap)
+        return (
+            it + 1, max_eval, lbd_c_new, lbd_t_new, r_c, r_t, evals5, eigengap,
+            ev_hist_new, gap_hist_new,
+        )
 
     init = (
         jnp.zeros((), jnp.int32),
@@ -288,8 +304,11 @@ def so3_sync(KR, k_r, cam_idx, time_idx, *, C: int, T: int, maxiter, cert_tol=1e
         jnp.broadcast_to(eye3, (T, 3, 3)),
         jnp.zeros((5,), dtype),
         jnp.asarray(0.0, dtype),
+        jnp.zeros((HIST_CAP, 5), dtype),
+        jnp.zeros((HIST_CAP,), dtype),
     )
-    it, _, _, _, r_c, r_t, evals5, eigengap = lax.while_loop(cond, body, init)
+    out = lax.while_loop(cond, body, init)
+    it, _, _, _, r_c, r_t, evals5, eigengap, ev_hist, gap_hist = out
 
     # World-frame output = transposed blocks (bipgo.py:343-350).
     return SyncResult(
@@ -298,6 +317,8 @@ def so3_sync(KR, k_r, cam_idx, time_idx, *, C: int, T: int, maxiter, cert_tol=1e
         evals=evals5,
         eigengap=eigengap,
         num_iters=it,
+        evals_hist=ev_hist,
+        gap_hist=gap_hist,
     )
 
 

@@ -51,7 +51,7 @@ import numpy as np
 from jax import lax
 
 from ..ops.lie import project_so3, svd3_so3
-from .core import HIGHEST, SyncResult
+from .core import HIGHEST, HIST_CAP, SyncResult
 
 __all__ = [
     "sort_edges_by_time",
@@ -419,7 +419,8 @@ def _sync_body_fns(prepare, time_products, *, C, maxiter, cert_tol,
         return (it < maxiter) & (max_eval > cert_tol)
 
     def body(state):
-        it, _, lbd_c, lbd_t, _, _, _, _, X, vmax = state
+        (it, _, lbd_c, lbd_t, _, _, _, _, X, vmax, lmax_raw_prev,
+         ev_hist, gap_hist) = state
 
         # Normalize by the largest Lambda_C diagonal entry (>= max |diag L|,
         # since the power-graph diagonal is PSD) for f32-stable filtering;
@@ -436,6 +437,14 @@ def _sync_body_fns(prepare, time_products, *, C, maxiter, cert_tol,
             lambda v: _lmax_refine(mv_filt, v, 4),
             vmax,
         )
+        # Window guard: on warm iterations the 4-step refinement can lag a
+        # dual update that moved the top of the spectrum; a Chebyshev window
+        # that undershoots lambda_max AMPLIFIES the above-b components and
+        # degrades the subspace.  The operator moves O(dual update) per
+        # iteration, so the previous iteration's (unscaled) estimate is a
+        # valid lower bound — never let the window shrink below it.
+        lmax = jnp.maximum(lmax, lmax_raw_prev * inv_scale)
+        lmax_raw = lmax * scale
 
         pol = polish_deg if have_filt else 0
         evals5, V5, X_next = lax.cond(
@@ -472,9 +481,11 @@ def _sync_body_fns(prepare, time_products, *, C, maxiter, cert_tol,
         st_inv = jnp.where(st > 1e-9 * st[..., :1], 1.0 / jnp.maximum(st, 1e-30), 0.0)
         lbd_t_new = jnp.einsum("tab,tb,tdb->tad", ut, st_inv, ut, precision=HIGHEST)
 
+        slot = jnp.minimum(it, HIST_CAP - 1)
         return (
             it + 1, max_eval, lbd_c_new, lbd_t_new, r_c, r_t, evals5,
-            eigengap, X_next, vmax,
+            eigengap, X_next, vmax, lmax_raw,
+            ev_hist.at[slot].set(evals5), gap_hist.at[slot].set(eigengap),
         )
 
     return cond, body
@@ -576,6 +587,9 @@ def so3_sync_large(
         jnp.asarray(0.0, dtype),
         X0,
         v0,
+        jnp.zeros((), dtype),
+        jnp.zeros((HIST_CAP, 5), dtype),
+        jnp.zeros((HIST_CAP,), dtype),
     )
     out = lax.while_loop(cond, body, init)
     it, _, _, _, r_c, r_t, evals5, eigengap = out[:8]
@@ -586,6 +600,8 @@ def so3_sync_large(
         evals=evals5,
         eigengap=eigengap,
         num_iters=it,
+        evals_hist=out[11],
+        gap_hist=out[12],
     )
 
 
@@ -713,6 +729,9 @@ def so3_sync_large_sharded(
             jnp.asarray(0.0, dtype),
             X0,
             v0,
+            jnp.zeros((), dtype),
+            jnp.zeros((HIST_CAP, 5), dtype),
+            jnp.zeros((HIST_CAP,), dtype),
         )
         out = lax.while_loop(cond, body, init)
         it, _, _, _, r_c, r_t_l, evals5, eigengap = out[:8]
@@ -722,19 +741,22 @@ def so3_sync_large_sharded(
             evals5,
             eigengap,
             it,
+            out[11],
+            out[12],
         )
 
     sharded = jax.shard_map(
         body_fn,
         mesh=mesh,
         in_specs=(P(axis), P(axis), P(axis), P(axis)),
-        out_specs=(P(), P(axis), P(), P(), P()),
+        out_specs=(P(), P(axis), P(), P(), P(), P(), P()),
         check_vma=False,
     )
     with jax.default_matmul_precision("highest"):
-        r_cam, r_time, evals5, eigengap, it = jax.jit(sharded)(
+        r_cam, r_time, evals5, eigengap, it, ev_hist, gap_hist = jax.jit(sharded)(
             jnp.asarray(KR_s), jnp.asarray(k_s), jnp.asarray(cam_s), jnp.asarray(tloc_s)
         )
     return SyncResult(
-        r_cam=r_cam, r_time=r_time[:T], evals=evals5, eigengap=eigengap, num_iters=it
+        r_cam=r_cam, r_time=r_time[:T], evals=evals5, eigengap=eigengap, num_iters=it,
+        evals_hist=ev_hist, gap_hist=gap_hist,
     )
