@@ -104,6 +104,36 @@ class TestIPPE:
             err_cv = np.linalg.norm(reproj - corners, axis=1).max()
             assert abs(err - err_cv) < 0.05, (err, err_cv)
 
+    def test_iterative_matches_cv(self):
+        """SOLVEPNP_ITERATIVE parity (VERDICT r2 item 6): the registry now
+        honors the flag with a homography-init + LM solver; the reference
+        accepts any flag string (vican/cam.py:161-165).  Compare against
+        cv2's ITERATIVE + solvePnPRefineLM chain (the reference's exact
+        pipeline with that flag)."""
+        for i, (R, t) in enumerate(random_poses(20, seed=9)):
+            corners = cv.projectPoints(OBJ, cv.Rodrigues(R)[0], t, K, DIST)[0].squeeze()
+            flag, rvec, tvec = cv.solvePnP(OBJ, corners.astype(np.float32), K, DIST,
+                                           flags=cv.SOLVEPNP_ITERATIVE)
+            assert flag
+            rvec, tvec = cv.solvePnPRefineLM(OBJ, corners.astype(np.float32), K, DIST,
+                                             rvec, tvec)
+            R_cv = cv.Rodrigues(rvec)[0]
+            R_est, t_est, _ = (np.asarray(x) for x in pnp.solve_marker_pose(
+                jnp.asarray(corners, jnp.float64), jnp.asarray(K),
+                pnp.pad_distortion(jnp.asarray(DIST)), MARKER_SIZE,
+                method="iterative"))
+            assert np.abs(t_est - tvec.ravel()).max() < 2e-3, (i, t_est, tvec.ravel())
+            assert np.abs(R_est - R_cv).max() < 1e-2, (i, np.abs(R_est - R_cv).max())
+
+    def test_iterative_flag_through_perception_registry(self):
+        """The flags string resolves to the iterative method (no silent
+        IPPE substitution) and an unknown flag still raises."""
+        from vican_tpu.utils.registry import PNP_FLAGS, resolve
+
+        assert resolve(PNP_FLAGS, "SOLVEPNP_ITERATIVE", "flags") == "iterative"
+        with pytest.raises(ValueError):
+            resolve(PNP_FLAGS, "SOLVEPNP_EPNP", "flags")
+
     def test_vmapped_batch(self):
         import jax
 

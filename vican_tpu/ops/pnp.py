@@ -33,6 +33,7 @@ __all__ = [
     "undistort_points",
     "homography_4pt",
     "ippe_square",
+    "iterative_planar",
     "refine_lm",
     "reprojection_error_max",
     "solve_marker_pose",
@@ -245,6 +246,44 @@ def ippe_square(corners_px, K, dist, marker_size):
     return R, t, jnp.where(pick1, e1, e2)
 
 
+def iterative_planar(corners_px, K, dist, marker_size, lm_iters: int = 20):
+    """``cv.solvePnP(flags=SOLVEPNP_ITERATIVE)`` for the planar-square case.
+
+    OpenCV's ITERATIVE solver initializes planar targets from the
+    object-plane -> image homography (calib3d cvFindExtrinsicCameraParams2):
+    ``R ~ [h1/s, h2/s, h1 x h2 / s^2]`` orthonormalized, ``t = h3/s`` with
+    ``s = sqrt(|h1||h2|)``, sign fixed so the target sits in front of the
+    camera — then runs Levenberg-Marquardt on the pixel reprojection
+    residual.  The reference accepts this flag string (vican/cam.py:161-165);
+    VICAN's datasets use IPPE_SQUARE, but the flag must be honored.
+
+    Returns ``(R, t, err2)`` with ``err2`` the sum of squared normalized-
+    coordinate residuals of the LM-refined pose (same convention as
+    :func:`ippe_square` so callers can treat the methods uniformly).
+    """
+    from .lie import project_so3
+
+    dtype = corners_px.dtype
+    obj = marker_object_points(marker_size, dtype)  # (4,3), z = 0
+    xy = undistort_points(corners_px, K, dist)  # (4,2) ideal normalized
+
+    H = homography_4pt(obj[:, :2], xy)
+    # fix the projective sign so depth comes out positive: H maps the
+    # object origin to h3, whose z-component (h33) must be > 0
+    H = H * jnp.sign(H[2, 2])
+    h1, h2, h3 = H[:, 0], H[:, 1], H[:, 2]
+    s = jnp.sqrt(jnp.maximum(jnp.linalg.norm(h1) * jnp.linalg.norm(h2), 1e-30))
+    R0 = jnp.stack([h1 / s, h2 / s, jnp.cross(h1, h2) / (s * s)], axis=1)
+    R0 = project_so3(R0[None])[0]  # nearest rotation (det fix)
+    t0 = h3 / s
+
+    R, t = refine_lm(R0, t0, corners_px, K, dist, marker_size, iters=lm_iters)
+    pc = obj @ R.T + t
+    proj = pc[:, :2] / pc[:, 2:3]
+    err2 = jnp.sum((proj - xy) ** 2)
+    return R, t, err2
+
+
 def refine_lm(R, t, corners_px, K, dist, marker_size, iters: int = 20):
     """Levenberg-Marquardt pose refinement (cv.solvePnPRefineLM parity).
 
@@ -291,13 +330,25 @@ def reprojection_error_max(R, t, corners_px, K, dist, marker_size):
     return jnp.max(jnp.linalg.norm(proj - corners_px, axis=-1))
 
 
-def solve_marker_pose(corners_px, K, dist, marker_size, lm_iters: int = 20):
-    """Full per-marker pose path: IPPE init -> LM refine -> max reproj error.
+def solve_marker_pose(corners_px, K, dist, marker_size, lm_iters: int = 20,
+                      method: str = "ippe_square"):
+    """Full per-marker pose path: PnP init -> LM refine -> max reproj error.
 
     The one-marker unit that :mod:`vican_tpu.perception` vmaps over all
-    detections in a batch.  Returns ``(R, t, reproj_err)``.
+    detections in a batch.  ``method`` selects the solver like the
+    reference's ``flags`` string (vican/cam.py:161-165): ``"ippe_square"``
+    (closed-form planar IPPE) or ``"iterative"`` (homography init + LM,
+    OpenCV's SOLVEPNP_ITERATIVE).  Both get the reference's unconditional
+    ``solvePnPRefineLM`` pass (cam.py:168-173).  Returns ``(R, t,
+    reproj_err)``.
     """
-    R0, t0, _ = ippe_square(corners_px, K, dist, marker_size)
+    if method == "ippe_square":
+        R0, t0, _ = ippe_square(corners_px, K, dist, marker_size)
+    elif method == "iterative":
+        R0, t0, _ = iterative_planar(corners_px, K, dist, marker_size,
+                                     lm_iters=lm_iters)
+    else:
+        raise ValueError(f"unknown PnP method: {method!r}")
     R, t = refine_lm(R0, t0, corners_px, K, dist, marker_size, iters=lm_iters)
     err = reprojection_error_max(R, t, corners_px, K, dist, marker_size)
     return R, t, err
