@@ -62,14 +62,17 @@ static long intern_id(PyObject *map, PyObject *list, PyObject *s) {
 }
 
 /* pack_edges2(src_edges, edge_filter, noise_r, noise_t, marker2idx, f64)
- *   -> (edata bytearray, eidx bytearray, cam_list, time_list, E, skipped,
- *       ortho_ok)
+ *   -> (edata bytearray, eidx bytearray, raw bytearray, cam_list, time_list,
+ *       E, skipped, ortho_ok)
  * cam_list/time_list hold the unique id strings in first-appearance order;
  * eidx stores indices into those provisional orders (the caller remaps to
  * lexicographic order — a vectorized numpy pass).  skipped counts edges
  * whose marker has no constraint.  ortho_ok is 1 iff every edge rotation is
  * orthonormal (max |R R^T - I| < 1e-3) and proper (det > 0.5): only then is
- * the quaternion transfer faithful to the raw matrices.
+ * the quaternion transfer faithful to the raw matrices.  raw holds the
+ * unconverted rotation entries (E x 9 doubles, row-major) so the caller can
+ * take the raw-matrix path on gate failure WITHOUT re-running the user
+ * callables (they may be stateful).
  */
 static PyObject *pack_edges2(PyObject *self, PyObject *args) {
     PyObject *src_edges, *edge_filter, *noise_r, *noise_t, *marker2idx;
@@ -87,17 +90,20 @@ static PyObject *pack_edges2(PyObject *self, PyObject *args) {
     PyObject *edata_ba = PyByteArray_FromStringAndSize(NULL, (n > 0 ? n : 1) * 9 * esz);
     PyObject *eidx_ba =
         PyByteArray_FromStringAndSize(NULL, (n > 0 ? n : 1) * 3 * sizeof(int32_t));
+    PyObject *raw_ba =
+        PyByteArray_FromStringAndSize(NULL, (n > 0 ? n : 1) * 9 * sizeof(double));
     PyObject *cam_map = PyDict_New(), *time_map = PyDict_New();
     PyObject *cam_list = PyList_New(0), *time_list = PyList_New(0);
     PyObject *pose_key = PyUnicode_InternFromString("pose");
     PyObject *pose_attr = PyUnicode_InternFromString("_pose");
-    if (!edata_ba || !eidx_ba || !cam_map || !time_map || !cam_list ||
-        !time_list || !pose_key || !pose_attr)
+    if (!edata_ba || !eidx_ba || !raw_ba || !cam_map || !time_map ||
+        !cam_list || !time_list || !pose_key || !pose_attr)
         goto fail;
 
     {
         char *edata = PyByteArray_AS_STRING(edata_ba);
         int32_t *eidx = (int32_t *)PyByteArray_AS_STRING(eidx_ba);
+        double *raw = (double *)PyByteArray_AS_STRING(raw_ba);
         double max_dev = 0.0, min_det = 1.0;
         Py_ssize_t E = 0, skipped = 0;
 
@@ -187,6 +193,13 @@ static PyObject *pack_edges2(PyObject *self, PyObject *args) {
             double r10 = m16[4], r11 = m16[5], r12 = m16[6], ty = m16[7];
             double r20 = m16[8], r21 = m16[9], r22 = m16[10], tz = m16[11];
 
+            {
+                double *rr = raw + E * 9;
+                rr[0] = r00; rr[1] = r01; rr[2] = r02;
+                rr[3] = r10; rr[4] = r11; rr[5] = r12;
+                rr[6] = r20; rr[7] = r21; rr[8] = r22;
+            }
+
             /* orthonormality / properness statistics (full-batch gate) */
             double d00 = r00 * r00 + r01 * r01 + r02 * r02 - 1.0;
             double d11 = r10 * r10 + r11 * r11 + r12 * r12 - 1.0;
@@ -266,18 +279,20 @@ static PyObject *pack_edges2(PyObject *self, PyObject *args) {
 
         if (PyByteArray_Resize(edata_ba, E * 9 * esz) < 0) goto fail;
         if (PyByteArray_Resize(eidx_ba, E * 3 * sizeof(int32_t)) < 0) goto fail;
+        if (PyByteArray_Resize(raw_ba, E * 9 * sizeof(double)) < 0) goto fail;
         Py_DECREF(cam_map);
         Py_DECREF(time_map);
         Py_DECREF(pose_key);
         Py_DECREF(pose_attr);
         int ortho_ok = (E == 0) || (max_dev < 1e-3 && min_det > 0.5);
-        return Py_BuildValue("(NNNNnni)", edata_ba, eidx_ba, cam_list,
+        return Py_BuildValue("(NNNNNnni)", edata_ba, eidx_ba, raw_ba, cam_list,
                              time_list, E, skipped, ortho_ok);
     }
 
 fail:
     Py_XDECREF(edata_ba);
     Py_XDECREF(eidx_ba);
+    Py_XDECREF(raw_ba);
     Py_XDECREF(cam_map);
     Py_XDECREF(time_map);
     Py_XDECREF(cam_list);

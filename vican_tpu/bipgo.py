@@ -362,13 +362,21 @@ def _se3sync_scale_path(
     import jax
     import jax.numpy as jnp
 
-    from .solver.host_fallback import MAX_HOST_EDGES, solve_translations_host
+    from .solver.host_fallback import (
+        MAX_HOST_EDGES, host_f64_enabled, solve_translations_host,
+    )
 
     C, T = packed.num_cams, packed.num_times
     result = _so3_sync_large_from_packed(packed, dtype, maxiter, tm, verbose, mesh)
 
     if requested is not None and np.dtype(requested) == np.float64 and dtype != np.float64:
-        if packed.num_edges <= MAX_HOST_EDGES:
+        if host_f64_enabled(packed.num_edges):
+            if packed.num_edges > MAX_HOST_EDGES:
+                tm.log(
+                    f"Honoring float64: host translation solve over "
+                    f"{packed.num_edges} edges (iterative; set "
+                    "VICAN_TPU_MAX_HOST_EDGES to cap and accept device f32)"
+                )
             with tm.phase("Solving translations (host float64)"):
                 t_est, res = solve_translations_host(
                     packed, np.asarray(result.r_cam), np.asarray(result.r_time),
@@ -381,10 +389,9 @@ def _se3sync_scale_path(
             tm.log("Done!")
             return out
         warnings.warn(
-            f"float64 requested but the problem has {packed.num_edges} edges "
-            f"(> MAX_HOST_EDGES={MAX_HOST_EDGES}): the host-f64 translation "
-            "fallback is disabled at this size and the whole solve proceeds "
-            "in device float32"
+            f"float64 requested but VICAN_TPU_MAX_HOST_EDGES caps the host-f64 "
+            f"translation solve below this problem's {packed.num_edges} edges: "
+            "the whole solve proceeds in device float32"
         )
 
     with tm.phase("Solving translations (matrix-free)"):
@@ -501,23 +508,32 @@ def bipartite_se3sync(
     # extreme noise-model weight ranges (area**6 spans ~1e-6..1, main.ipynb
     # cell 3) are unresolvable in f32 normal equations.  Rotations stay on
     # device (f32 with HIGHEST matmuls matches f64 — tests/test_solver.py).
-    from .solver.host_fallback import MAX_HOST_EDGES, solve_translations_host
+    # The host solvers are iterative (O(E) memory), so the f64 request is
+    # honored at any size unless capped via VICAN_TPU_MAX_HOST_EDGES.
+    from .solver.host_fallback import (
+        MAX_HOST_EDGES, host_f64_enabled, solve_translations_host,
+    )
 
     host_f64_translations = (
         requested == np.float64
         and dtype != np.float64
-        and packed.num_edges <= MAX_HOST_EDGES
+        and host_f64_enabled(packed.num_edges)
     )
+    if host_f64_translations and packed.num_edges > MAX_HOST_EDGES:
+        tm.log(
+            f"Honoring float64: host translation solve over "
+            f"{packed.num_edges} edges (iterative; set "
+            "VICAN_TPU_MAX_HOST_EDGES to cap and accept device f32)"
+        )
     if (
         requested == np.float64
         and dtype != np.float64
-        and packed.num_edges > MAX_HOST_EDGES
+        and not host_f64_translations
     ):
         warnings.warn(
-            f"float64 requested but the problem has {packed.num_edges} edges "
-            f"(> MAX_HOST_EDGES={MAX_HOST_EDGES}): the host-f64 translation "
-            "fallback is disabled at this size and the whole solve proceeds "
-            "in device float32",
+            f"float64 requested but VICAN_TPU_MAX_HOST_EDGES caps the host-f64 "
+            f"translation solve below this problem's {packed.num_edges} edges: "
+            "the whole solve proceeds in device float32",
             stacklevel=2,
         )
 

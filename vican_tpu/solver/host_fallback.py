@@ -13,14 +13,26 @@ Math identical to :func:`vican_tpu.solver.core.translation_rhs` +
 """
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
-__all__ = ["solve_translations_host"]
+__all__ = ["solve_translations_host", "host_f64_enabled"]
 
-# Above this edge count the host solve is no longer "free"; the device f32
-# path takes over (its weights are the milder camera-stage models in
-# practice — main.ipynb cell 7).
+# Above this edge count the host solve is no longer "free" (noted in the
+# phase log); the solvers are iterative LinearOperator cg/lsqr with O(E)
+# memory, so an explicit float64 request is honored at ANY size — the
+# reference would honor it too (slowly, on CPU).  Set
+# VICAN_TPU_MAX_HOST_EDGES to cap the host solve and accept the device-f32
+# downgrade past the cap instead.
 MAX_HOST_EDGES = 200_000
+
+
+def host_f64_enabled(num_edges: int) -> bool:
+    """Whether an f64-requested translation solve runs on the host at this
+    size (always, unless the user capped it via VICAN_TPU_MAX_HOST_EDGES)."""
+    cap = int(os.environ.get("VICAN_TPU_MAX_HOST_EDGES", 0))
+    return cap <= 0 or num_edges <= cap
 
 
 def solve_translations_host(packed, r_cam, r_time, lsqr_solver: str):

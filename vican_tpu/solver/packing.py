@@ -282,7 +282,8 @@ def pack_problem(
         # interning, quaternion conversion, the full orthonormality gate and
         # the fused buffer fills; only the user callables run in the
         # interpreter.
-        edata_b, eidx_b, cam_list, time_list, E, skipped, ortho_ok = fastpack.pack_edges2(
+        (edata_b, eidx_b, raw_b, cam_list, time_list, E, skipped,
+         ortho_ok) = fastpack.pack_edges2(
             src_edges, edge_filter, noise_model_r, noise_model_t, marker2idx,
             dtype == np.float64,
         )
@@ -290,15 +291,20 @@ def pack_problem(
             _warn_unconstrained(skipped)
         if E == 0:
             raise ValueError("edge_filter removed every edge; nothing to synchronize")
+        edata = np.frombuffer(edata_b, dtype=dtype).reshape(E, 9)
+        eidx = np.frombuffer(eidx_b, dtype=np.int32).reshape(E, 3)
+        cam_ids, eidx[:, 0] = _sorted_remap(cam_list, eidx[:, 0])
+        time_ids, eidx[:, 1] = _sorted_remap(time_list, eidx[:, 1])
         if ortho_ok:
-            edata = np.frombuffer(edata_b, dtype=dtype).reshape(E, 9)
-            eidx = np.frombuffer(eidx_b, dtype=np.int32).reshape(E, 3)
-            cam_ids, eidx[:, 0] = _sorted_remap(cam_list, eidx[:, 0])
-            time_ids, eidx[:, 1] = _sorted_remap(time_list, eidx[:, 1])
             packed_raw = (edata, eidx, cam_ids, time_ids, True, None)
-        # else: non-orthonormal rotations — repack below shipping raw
-        # matrices (the callables run a second time; this path is rare and
-        # correctness-first)
+        else:
+            # Non-orthonormal rotations: ship the raw matrices (the
+            # reference folds the raw matrix, bipgo.py:209-213).  The C
+            # pass emitted them alongside the quats, so the user callables
+            # (which may be stateful) are NOT re-invoked.
+            R_e_raw = np.frombuffer(raw_b, np.float64).reshape(E, 3, 3).astype(dtype)
+            edata[:, :4] = 0.0  # quat slots are unused on this path
+            packed_raw = (edata, eidx, cam_ids, time_ids, False, R_e_raw)
     if packed_raw is None:
         packed_raw = _pack_python(
             src_edges, marker2idx, noise_model_r, noise_model_t, edge_filter, dtype
