@@ -176,41 +176,101 @@ def _lmax_refine(mv, v, iters: int):
     return jnp.sum(v * mv(v)), v
 
 
-def _chefsi_bottom(mv_filt, mv_full, X, lmax, k: int, deg: int, rounds: int,
-                   polish_deg: int):
-    """Bottom-k eigenpairs via Chebyshev-filtered subspace iteration.
+def _lmax_lanczos(mv, v0, k: int):
+    """Safeguarded Lanczos upper bound for lambda_max of an SPD operator.
+
+    Returns ``(bound, ritz_vec (n, 1))`` with ``bound = theta_max + beta_k``
+    — the standard CheFSI upper-bound estimator (Zhou et al.): the residual
+    norm of the top Ritz pair bounds its distance to a true eigenvalue, so
+    ``theta + beta`` upper-bounds lambda_max even when the top of the
+    spectrum is a near-degenerate cluster where single-vector power
+    iteration badly underestimates (a Chebyshev window BELOW lambda_max
+    amplifies the above-window components and wrecks the filtered subspace;
+    a modest overestimate only slightly relaxes the damping).
+    Full reorthogonalization — k is small (~10) and matvecs dominate.
+    """
+    n = v0.shape[0]
+    dtype = v0.dtype
+    v = (v0 / jnp.maximum(jnp.linalg.norm(v0), 1e-30)).reshape(n)
+
+    def body(j, state):
+        V, alphas, betas, v, prev, beta = state
+        V = V.at[:, j].set(v)
+        w = mv(v[:, None])[:, 0] - beta * prev
+        alpha = jnp.vdot(v, w)
+        w = w - alpha * v
+        w = w - V @ (V.T @ w)  # full reorthogonalization (j+1 live columns)
+        beta_new = jnp.linalg.norm(w)
+        v_new = w / jnp.maximum(beta_new, 1e-30)
+        return (V, alphas.at[j].set(alpha), betas.at[j].set(beta_new),
+                v_new, v, beta_new)
+
+    init = (
+        jnp.zeros((n, k), dtype), jnp.zeros((k,), dtype), jnp.zeros((k,), dtype),
+        v, jnp.zeros((n,), dtype), jnp.asarray(0.0, dtype),
+    )
+    V, alphas, betas, *_ = lax.fori_loop(0, k, body, init)
+    T = (
+        jnp.diag(alphas)
+        + jnp.diag(betas[: k - 1], 1)
+        + jnp.diag(betas[: k - 1], -1)
+    )
+    theta, S = jnp.linalg.eigh(T)
+    bound = theta[-1] + betas[-1]
+    ritz = V @ S[:, -1]
+    return bound, ritz[:, None]
+
+
+def _chefsi_bottom(mv_filt, mv_full, X, b, k: int, deg: int, rounds: int,
+                   polish_deg: int, a0):
+    """Bottom-k eigenpairs via Chebyshev-filtered subspace iteration with an
+    ADAPTIVE window lower edge.
 
     ``X (n, m)`` with m >= k is the (warm-startable) subspace; ``mv_filt``
     is the cheap (possibly bf16) matvec used for the bulk filtering,
     ``mv_full`` the full-precision matvec used for the polish pass and the
-    Rayleigh-Ritz extraction (the certificate eigenvalues come from there).
-    Returns ``(evals ascending (k,), vectors (n, k), X_next (n, m))``.
+    Rayleigh-Ritz extractions (the certificate eigenvalues come from there).
+    ``b`` is a safe upper bound of the spectrum; ``a0`` the initial window
+    lower edge.  Returns ``(evals ascending (k,), vectors (n, k),
+    X_next (n, m), a_next)``.
 
-    The filter suppresses [0.05 * lmax, lmax], so the near-kernel directions
-    the primal rounding needs converge in a couple of rounds — unlike plain
-    or flipped-spectrum power methods whose rate collapses when
-    lambda_4 << lmax (the regime ARPACK's shift-invert handles in the
-    reference, bipgo.py:288).  Reduced-precision filter matvecs re-inject
-    ~1e-3 relative contamination outside the target subspace; the
-    ``polish_deg`` full-precision pass damps it by another ~1e2-1e3 before
-    extraction.
+    The filter suppresses [a, b] and amplifies [0, a).  A FIXED ``a``
+    (e.g. 0.05 b) fails on spectra with a dense near-kernel cluster
+    (lambda_4/lambda_max ~ 1e-3: real camera graphs at low measurement
+    noise): everything under the edge is amplified equally and the m-dim
+    subspace cannot isolate the 3 kernel vectors — the regime ARPACK's
+    shift-invert handles via 1/(lambda + sigma) amplification in the
+    reference (bipgo.py:288).  The standard CheFSI remedy (Zhou et al.) is
+    a Rayleigh-Ritz pass after EVERY filter round, moving ``a`` to the
+    first unwanted Ritz value (theta_{k+1}): the window tightens onto the
+    actual bottom cluster and per-round separation of the kernel improves
+    from ~O(1) to orders of magnitude.  Reduced-precision filter matvecs
+    re-inject ~1e-3 relative contamination outside the target subspace; the
+    ``polish_deg`` full-precision pass damps it before the final extraction.
     """
-    b = lmax * 1.15  # margin over the power-iteration estimate
-    a = 0.05 * b
 
-    def round_body(_, X):
+    def rayleigh_ritz(Q):
+        S = jnp.matmul(Q.T, mv_full(Q), precision=HIGHEST)
+        S = 0.5 * (S + S.T)
+        theta, W = jnp.linalg.eigh(S)  # ascending
+        return theta, jnp.matmul(Q, W, precision=HIGHEST)
+
+    def round_body(_, carry):
+        X, a = carry
         Q, _ = jnp.linalg.qr(_cheb_filter(mv_filt, X, deg, a, b))
-        return Q
+        theta, V = rayleigh_ritz(Q)
+        # next window: amplify everything at/below the wanted band, damp the
+        # rest; clamped away from both window edges (a degenerate window
+        # destroys the three-term recurrence scaling)
+        a_next = jnp.clip(theta[k], 1e-6 * b, 0.5 * b)
+        return V, a_next
 
-    Q = lax.fori_loop(0, rounds, round_body, X)
+    Q, a = lax.fori_loop(0, rounds, round_body, (X, a0))
     if polish_deg > 0:
         Q, _ = jnp.linalg.qr(_cheb_filter(mv_full, Q, polish_deg, a, b))
-    # Rayleigh-Ritz always at full precision
-    S = jnp.matmul(Q.T, mv_full(Q), precision=HIGHEST)
-    S = 0.5 * (S + S.T)
-    theta, W = jnp.linalg.eigh(S)  # ascending
-    V = jnp.matmul(Q, W, precision=HIGHEST)
-    return theta[:k], V[:, :k], V
+    theta, V = rayleigh_ritz(Q)
+    a_next = jnp.clip(theta[k], 1e-6 * b, 0.5 * b)
+    return theta[:k], V[:, :k], V, a_next
 
 
 def _resolve_filter_dtype(filter_dtype: str, dtype):
@@ -419,7 +479,7 @@ def _sync_body_fns(prepare, time_products, *, C, maxiter, cert_tol,
         return (it < maxiter) & (max_eval > cert_tol)
 
     def body(state):
-        (it, _, lbd_c, lbd_t, _, _, _, _, X, vmax, lmax_raw_prev,
+        (it, _, lbd_c, lbd_t, _, _, _, _, X, vmax, lmax_raw_prev, a_raw_prev,
          ev_hist, gap_hist) = state
 
         # Normalize by the largest Lambda_C diagonal entry (>= max |diag L|,
@@ -429,11 +489,14 @@ def _sync_body_fns(prepare, time_products, *, C, maxiter, cert_tol,
         inv_scale = 1.0 / scale
         mv_full, mv_filt, apply_pwr = prepare(lbd_c, lbd_t, inv_scale)
 
-        # lambda_max of the scaled operator: warm-started power iteration
-        # (the Laplacian moves only O(dual update) per iteration)
+        # lambda_max of the scaled operator: a safeguarded Lanczos upper
+        # bound on the first iteration (robust to near-degenerate top
+        # clusters where plain power iteration underestimates), then cheap
+        # warm-started power refinement (the Laplacian moves only
+        # O(dual update) per iteration)
         lmax, vmax = lax.cond(
             it == 0,
-            lambda v: _lmax_refine(mv_filt, v, 14),
+            lambda v: _lmax_lanczos(mv_filt, v, 12),
             lambda v: _lmax_refine(mv_filt, v, 4),
             vmax,
         )
@@ -445,18 +508,24 @@ def _sync_body_fns(prepare, time_products, *, C, maxiter, cert_tol,
         # valid lower bound — never let the window shrink below it.
         lmax = jnp.maximum(lmax, lmax_raw_prev * inv_scale)
         lmax_raw = lmax * scale
+        b = lmax * 1.15  # margin over the estimate
 
+        # window lower edge: warm-carried from the previous iteration's
+        # Rayleigh-Ritz (first unwanted Ritz value), 0.05*b on iteration 0
+        a0 = jnp.where(a_raw_prev > 0, a_raw_prev * inv_scale, 0.05 * b)
+        a0 = jnp.clip(a0, 1e-6 * b, 0.5 * b)
         pol = polish_deg if have_filt else 0
-        evals5, V5, X_next = lax.cond(
+        evals5, V5, X_next, a_next = lax.cond(
             it == 0,
             lambda X: _chefsi_bottom(
-                mv_filt, mv_full, X, lmax, 5, cheb_degree, cheb_rounds, pol
+                mv_filt, mv_full, X, b, 5, cheb_degree, cheb_rounds, pol, a0
             ),
             lambda X: _chefsi_bottom(
-                mv_filt, mv_full, X, lmax, 5, cheb_degree_warm, 1, pol
+                mv_filt, mv_full, X, b, 5, cheb_degree_warm, 1, pol, a0
             ),
             X,
         )
+        a_raw = a_next * scale
         evals5 = evals5 * scale
         eigengap = jnp.abs(evals5[3] / evals5[2])
         max_eval = jnp.max(jnp.abs(evals5))
@@ -484,7 +553,7 @@ def _sync_body_fns(prepare, time_products, *, C, maxiter, cert_tol,
         slot = jnp.minimum(it, HIST_CAP - 1)
         return (
             it + 1, max_eval, lbd_c_new, lbd_t_new, r_c, r_t, evals5,
-            eigengap, X_next, vmax, lmax_raw,
+            eigengap, X_next, vmax, lmax_raw, a_raw,
             ev_hist.at[slot].set(evals5), gap_hist.at[slot].set(eigengap),
         )
 
@@ -588,6 +657,7 @@ def so3_sync_large(
         X0,
         v0,
         jnp.zeros((), dtype),
+        jnp.zeros((), dtype),
         jnp.zeros((HIST_CAP, 5), dtype),
         jnp.zeros((HIST_CAP,), dtype),
     )
@@ -600,8 +670,8 @@ def so3_sync_large(
         evals=evals5,
         eigengap=eigengap,
         num_iters=it,
-        evals_hist=out[11],
-        gap_hist=out[12],
+        evals_hist=out[12],
+        gap_hist=out[13],
     )
 
 
@@ -730,6 +800,7 @@ def so3_sync_large_sharded(
             X0,
             v0,
             jnp.zeros((), dtype),
+            jnp.zeros((), dtype),
             jnp.zeros((HIST_CAP, 5), dtype),
             jnp.zeros((HIST_CAP,), dtype),
         )
@@ -741,8 +812,8 @@ def so3_sync_large_sharded(
             evals5,
             eigengap,
             it,
-            out[11],
             out[12],
+            out[13],
         )
 
     sharded = jax.shard_map(
