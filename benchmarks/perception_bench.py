@@ -125,6 +125,10 @@ def main():
                 return time.perf_counter() - t0, len(edges), set(edges)
         else:
             def run(mode=mode):
+                # same marker_ids filter as the reference run (the tutorial's
+                # MARKER_IDS — stray dictionary matches on junk quads exist
+                # in BOTH pipelines and are filtered in real use)
+                wanted = {str(i) for i in range(24)}
                 t0 = time.perf_counter()
                 edges = estimate_pose_batched(
                     files, cams, aruco="DICT_4X4_1000", marker_size=0.48 * 0.575,
@@ -132,6 +136,8 @@ def main():
                     contrast=0, flags="SOLVEPNP_IPPE_SQUARE",
                     batch_size=args.batch_size, pipeline_mode=mode, verbose=False,
                 )
+                edges = {k: v for k, v in edges.items()
+                         if k[-1].split("_")[-1] in wanted}
                 # the edge dict is already host-side numpy: construction IS the sync
                 return time.perf_counter() - t0, len(edges), set(edges)
 

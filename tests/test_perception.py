@@ -227,6 +227,38 @@ class TestEndToEnd:
         for v in out.values():
             assert np.isfinite(v["pose"].pose()).all()
 
+    def test_pure_mode_matches_device_close_range(self, tmp_path, monkeypatch):
+        """Pure-device detections == device-mode detections on a scene with
+        CLOSE-RANGE frames (VERDICT r2 item 4: the 371-vs-380 deficit traced
+        to CCL underconvergence on large components — the run-scan CCL and
+        the area-gated top-k ranking close it; this pins the fix)."""
+        from vican_tpu import _native
+        from vican_tpu.synthetic import render_cube_scene
+
+        root = str(tmp_path / "close")
+        # camera near the cube: markers render at 150-300 px
+        render_cube_scene(root, [(1.1, 0.15, 1.05)], 4, seed=23,
+                          res=(640, 360), marker_size=0.24)
+        ds = Dataset(root)
+        kwargs = dict(
+            aruco="DICT_4X4_1000", marker_size=0.24,
+            corner_refine="CORNER_REFINE_APRILTAG",
+            marker_ids=[str(i) for i in range(24)],
+            flags="SOLVEPNP_IPPE_SQUARE", brightness=0, contrast=0,
+            batch_size=4, verbose=False,
+        )
+        dev = estimate_pose_mp(ds.im_data["filename"], ds.im_data["cam"],
+                               pipeline_mode="device", **kwargs)
+        monkeypatch.setenv("VICAN_TPU_NO_NATIVE", "1")
+        monkeypatch.setattr(_native, "_cache", {})
+        pure = estimate_pose_mp(ds.im_data["filename"], ds.im_data["cam"],
+                                pipeline_mode="pure", **kwargs)
+        assert len(dev) >= 8
+        assert set(pure) == set(dev), (
+            sorted(set(dev) - set(pure)), sorted(set(pure) - set(dev)))
+        for k in dev:
+            assert np.allclose(pure[k]["corners"], dev[k]["corners"], atol=0.5)
+
     def test_estimate_pose_worker_single_image(self, rendered):
         """Reference API: per-image worker returns a dict or None (cam.py:83-186)."""
         from vican_tpu.cam import estimate_pose_worker
