@@ -378,3 +378,33 @@ class TestLargeMarkers:
                 for q in qv
             )
             assert best < 3.0, (size, best)  # pre-refinement candidate
+
+
+def test_packed_ccl_matches_unpacked():
+    """quad_candidates_packed (bit-packed input) == quad_candidates on
+    random masks, including non-multiple-of-8 widths."""
+    import pytest as _pytest
+
+    from vican_tpu._native import get_fastccl
+
+    ccl = get_fastccl()
+    if ccl is None:
+        _pytest.skip("no C toolchain")
+    rng = np.random.default_rng(5)
+    for H, W in [(64, 96), (50, 70), (33, 41)]:
+        fg = (rng.random((H, W)) < 0.25).astype(np.uint8)
+        # add a solid square so at least one candidate passes min_area
+        fg[10:30, 5:25] = 1
+        Wb = -(-W // 8)
+        packed = np.packbits(
+            np.pad(fg, ((0, 0), (0, Wb * 8 - W))), axis=-1, bitorder="little"
+        )
+        c1, a1, n1 = ccl.quad_candidates(
+            np.ascontiguousarray(fg), H, W, 16, 9.0, H * W * 0.9)
+        c2, a2, n2 = ccl.quad_candidates_packed(
+            np.ascontiguousarray(packed), H, W, Wb, 16, 9.0, H * W * 0.9)
+        assert n1 == n2
+        np.testing.assert_array_equal(np.frombuffer(c1, np.float32),
+                                      np.frombuffer(c2, np.float32))
+        np.testing.assert_array_equal(np.frombuffer(a1, np.int32),
+                                      np.frombuffer(a2, np.int32))

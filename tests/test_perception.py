@@ -227,6 +227,106 @@ class TestEndToEnd:
         for v in out.values():
             assert np.isfinite(v["pose"].pose()).all()
 
+    def test_shape_bucketing_shares_programs(self, tmp_path, monkeypatch):
+        """Two nearby resolutions land in one shape bucket: the device
+        programs are shared (no per-resolution recompiles — VERDICT r2
+        item 8) and detections are byte-identical to bucketing-off."""
+        from vican_tpu import perception
+        from vican_tpu.synthetic import render_cube_scene
+
+        scenes = []
+        for name, res in [("a", (640, 360)), ("b", (600, 330))]:
+            root = str(tmp_path / name)
+            render_cube_scene(root, [(2.0, 0.3, 1.2)], 2, seed=31, res=res,
+                              marker_size=0.2)
+            scenes.append(root)
+
+        def run_all():
+            out = {}
+            for root in scenes:
+                ds = Dataset(root)
+                out.update(estimate_pose_mp(
+                    ds.im_data["filename"], ds.im_data["cam"],
+                    aruco="DICT_4X4_1000", marker_size=0.2,
+                    corner_refine="CORNER_REFINE_APRILTAG", marker_ids=None,
+                    flags="SOLVEPNP_IPPE_SQUARE", brightness=0, contrast=0,
+                    batch_size=2, verbose=False, pipeline_mode="device",
+                ))
+            return out
+
+        monkeypatch.setenv("VICAN_TPU_SHAPE_BUCKET", "128")
+        perception._PIPELINE_CACHE.clear()
+        bucketed = run_all()
+        # both resolutions bucket to (384, 640): ONE threshold + ONE hybrid
+        # program despite two source shapes
+        keys = set(perception._PIPELINE_CACHE)
+        assert len([k for k in keys if k[0] == "thresh_tiles"]) == 1, keys
+        assert len([k for k in keys if k[0] == "hybrid"]) == 1, keys
+
+        monkeypatch.setenv("VICAN_TPU_SHAPE_BUCKET", "1")
+        perception._PIPELINE_CACHE.clear()
+        exact = run_all()
+        perception._PIPELINE_CACHE.clear()
+        assert set(bucketed) == set(exact)
+        for k in exact:
+            np.testing.assert_array_equal(
+                bucketed[k]["corners"], exact[k]["corners"])
+            np.testing.assert_allclose(
+                bucketed[k]["pose"].pose(), exact[k]["pose"].pose(), rtol=0, atol=0)
+
+    def test_tile_compaction_reconstruction_exact(self):
+        """Compacted-tile D2H == full-mask D2H, bit for bit, on random
+        sparse masks (the device-mode transfer cut of VERDICT r2 item 2)."""
+        import jax.numpy as jnp
+
+        from vican_tpu.ops import detect as D_
+        from vican_tpu.perception import (
+            _build_threshold, _build_threshold_compact, _masks_from_tiles,
+        )
+
+        rng = np.random.default_rng(7)
+        B, H, W = 2, 120, 200
+        # sparse blobs: a few bright-on-dark squares
+        gray = np.full((B, H, W), 200, np.uint8)
+        for b in range(B):
+            for _ in range(6):
+                y, x = rng.integers(0, H - 20), rng.integers(0, W - 20)
+                gray[b, y : y + 14, x : x + 14] = 20
+        params = D_.DetectorParams()
+        full_run = _build_threshold(B, H, W, params, use_pallas=False)
+        comp_run = _build_threshold_compact(B, H, W, params, use_pallas=False)
+        packed, _ = full_run(jnp.asarray(gray))
+        masks_full = np.unpackbits(np.asarray(packed), axis=-1,
+                                   bitorder="little")[..., :W]
+        sel, payload, counts, _ = comp_run(jnp.asarray(gray))
+        assert (np.asarray(counts) <= sel.shape[-1]).all()
+        masks_tiles = _masks_from_tiles(np.asarray(sel), np.asarray(payload), H, W)
+        np.testing.assert_array_equal(masks_tiles, masks_full)
+
+    def test_tile_overflow_falls_back_exactly(self, rendered):
+        """A tiny tile capacity forces the full-mask fallback; detections
+        must be identical to the default capacity's."""
+        from vican_tpu.ops.detect import DetectorParams
+
+        root, markers = rendered
+        ds = Dataset(root)
+        files = ds.im_data["filename"][:6]
+        cams_l = ds.im_data["cam"][:6]
+        kwargs = dict(
+            aruco="DICT_4X4_1000", marker_size=MARKER_SIZE,
+            corner_refine="CORNER_REFINE_APRILTAG", marker_ids=None,
+            flags="SOLVEPNP_IPPE_SQUARE", brightness=0, contrast=0,
+            batch_size=3, verbose=False, pipeline_mode="device",
+        )
+        normal = estimate_pose_mp(files, cams_l, **kwargs)
+        tiny = estimate_pose_mp(
+            files, cams_l,
+            detector_params=DetectorParams(mask_tile_rate=1e-6), **kwargs,
+        )
+        assert set(tiny) == set(normal)
+        for k in normal:
+            np.testing.assert_array_equal(tiny[k]["corners"], normal[k]["corners"])
+
     def test_pure_mode_matches_device_close_range(self, tmp_path, monkeypatch):
         """Pure-device detections == device-mode detections on a scene with
         CLOSE-RANGE frames (VERDICT r2 item 4: the 371-vs-380 deficit traced

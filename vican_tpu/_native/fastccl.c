@@ -41,39 +41,82 @@ static void unite(int32_t *parent, int32_t a, int32_t b) {
 
 /* quad_candidates(fg_bytes, H, W, K, min_area, max_area)
  *   fg_bytes: contiguous uint8 (H*W), nonzero = foreground
- * Returns (corners float32 (K,4,2), areas int32 (K,), count)
+ * quad_candidates_packed(packed_bytes, H, W, Wb, K, min_area, max_area)
+ *   packed_bytes: contiguous (H, Wb) with bit x of a row at
+ *   row[x >> 3] >> (x & 7) (np.packbits bitorder="little") — the exact
+ *   layout the device threshold program ships, so the ~8x-larger unpacked
+ *   mask is never materialized on the host (np.unpackbits measured
+ *   ~17 ms/image at 720p x 7 windows).
+ * Both return (corners float32 (K,4,2), areas int32 (K,), count).
  * Corners use the farthest-point geometry (p1 = farthest from centroid,
  * p2 = farthest from p1, p3/p4 = extremes of signed distance to p1-p2),
  * cyclic order p1, p3, p2, p4.
  */
-static PyObject *quad_candidates(PyObject *self, PyObject *args) {
-    Py_buffer fg;
-    Py_ssize_t H, W, K;
-    double min_area, max_area;
-    if (!PyArg_ParseTuple(args, "y*nnndd", &fg, &H, &W, &K, &min_area, &max_area))
-        return NULL;
-    if (fg.len < H * W) {
-        PyBuffer_Release(&fg);
+#define FG_AT(row, x) (packed ? ((row[(x) >> 3] >> ((x) & 7)) & 1) : row[x])
+
+static PyObject *qc_impl(Py_buffer *fg, Py_ssize_t H, Py_ssize_t W,
+                         Py_ssize_t Wb, Py_ssize_t K,
+                         double min_area, double max_area) {
+    const int packed = Wb > 0;
+    const Py_ssize_t stride = packed ? Wb : W;
+    if (fg->len < H * stride) {
+        PyBuffer_Release(fg);
         PyErr_SetString(PyExc_ValueError, "fg buffer too small");
         return NULL;
     }
-    const uint8_t *im = (const uint8_t *)fg.buf;
+    const uint8_t *im = (const uint8_t *)fg->buf;
     int32_t n = (int32_t)(H * W);
     int32_t *parent = (int32_t *)malloc((size_t)n * sizeof(int32_t));
-    if (!parent) {
-        PyBuffer_Release(&fg);
+    /* per-row foreground spans: pass 2 and the stats pass then touch only
+     * occupied spans instead of scanning every pixel (masks are ~10-15%
+     * occupied in marker scenes) */
+    int32_t *rmin = (int32_t *)malloc((size_t)H * sizeof(int32_t));
+    int32_t *rmax = (int32_t *)malloc((size_t)H * sizeof(int32_t));
+    if (!parent || !rmin || !rmax) {
+        free(parent); free(rmin); free(rmax);
+        PyBuffer_Release(fg);
         return PyErr_NoMemory();
     }
+    for (int32_t y = 0; y < H; y++) { rmin[y] = (int32_t)W; rmax[y] = -1; }
 
     /* pass 1: union with W, NW, N, NE neighbours (8-connectivity) */
     for (int32_t y = 0; y < H; y++) {
-        const uint8_t *row = im + (size_t)y * W;
-        const uint8_t *up = row - W;
+        const uint8_t *row = im + (size_t)y * stride;
+        const uint8_t *up = row - stride;
         int32_t base = y * (int32_t)W;
+        if (packed) {
+            /* skip whole empty bytes (masks are sparse) */
+            for (int32_t xb = 0; xb < (int32_t)Wb; xb++) {
+                uint8_t bits = row[xb];
+                int32_t x0 = xb << 3;
+                if (!bits) {
+                    int32_t xe = x0 + 8 < (int32_t)W ? x0 + 8 : (int32_t)W;
+                    for (int32_t x = x0; x < xe; x++) parent[base + x] = -1;
+                    continue;
+                }
+                int32_t xe = x0 + 8 < (int32_t)W ? x0 + 8 : (int32_t)W;
+                if (x0 < rmin[y]) rmin[y] = x0;
+                if (xe - 1 > rmax[y]) rmax[y] = xe - 1;
+                for (int32_t x = x0; x < xe; x++) {
+                    int32_t i = base + x;
+                    if (!((bits >> (x & 7)) & 1)) { parent[i] = -1; continue; }
+                    parent[i] = i;
+                    if (x > 0 && FG_AT(row, x - 1)) unite(parent, i, i - 1);
+                    if (y > 0) {
+                        if (FG_AT(up, x)) unite(parent, i, i - (int32_t)W);
+                        if (x > 0 && FG_AT(up, x - 1)) unite(parent, i, i - (int32_t)W - 1);
+                        if (x + 1 < W && FG_AT(up, x + 1)) unite(parent, i, i - (int32_t)W + 1);
+                    }
+                }
+            }
+            continue;
+        }
         for (int32_t x = 0; x < W; x++) {
             int32_t i = base + x;
             if (!row[x]) { parent[i] = -1; continue; }
             parent[i] = i;
+            if (x < rmin[y]) rmin[y] = x;
+            if (x > rmax[y]) rmax[y] = x;
             if (x > 0 && row[x - 1]) unite(parent, i, i - 1);
             if (y > 0) {
                 if (up[x]) unite(parent, i, i - (int32_t)W);
@@ -86,14 +129,19 @@ static PyObject *quad_candidates(PyObject *self, PyObject *args) {
     /* pass 2: flatten + per-root stats, collected in a hash-free scheme:
      * roots are pixel indices; store stat slot index at the root. */
     int32_t *slot = (int32_t *)malloc((size_t)n * sizeof(int32_t));
-    if (!slot) { free(parent); PyBuffer_Release(&fg); return PyErr_NoMemory(); }
+    if (!slot) {
+        free(parent); free(rmin); free(rmax);
+        PyBuffer_Release(fg);
+        return PyErr_NoMemory();
+    }
     memset(slot, 0xFF, (size_t)n * sizeof(int32_t));
     int cap = 256, nstats = 0;
     Stats *stats = (Stats *)malloc((size_t)cap * sizeof(Stats));
     int32_t *roots = (int32_t *)malloc((size_t)cap * sizeof(int32_t));
     for (int32_t y = 0; y < H; y++) {
+        if (rmax[y] < rmin[y]) continue;  /* row has no foreground */
         int32_t base = y * (int32_t)W;
-        for (int32_t x = 0; x < W; x++) {
+        for (int32_t x = rmin[y]; x <= rmax[y]; x++) {
             int32_t i = base + x;
             if (parent[i] < 0) continue;
             int32_t r = find_root(parent, i);
@@ -191,7 +239,9 @@ static PyObject *quad_candidates(PyObject *self, PyObject *args) {
     free(roots);
     free(slot);
     free(parent);
-    PyBuffer_Release(&fg);
+    free(rmin);
+    free(rmax);
+    PyBuffer_Release(fg);
 
     PyObject *c_bytes = PyBytes_FromStringAndSize((char *)corners, (Py_ssize_t)K * 8 * sizeof(float));
     PyObject *a_bytes = PyBytes_FromStringAndSize((char *)areas, (Py_ssize_t)K * sizeof(int32_t));
@@ -200,9 +250,34 @@ static PyObject *quad_candidates(PyObject *self, PyObject *args) {
     return Py_BuildValue("(NNi)", c_bytes, a_bytes, nkeep);
 }
 
+static PyObject *quad_candidates(PyObject *self, PyObject *args) {
+    Py_buffer fg;
+    Py_ssize_t H, W, K;
+    double min_area, max_area;
+    if (!PyArg_ParseTuple(args, "y*nnndd", &fg, &H, &W, &K, &min_area, &max_area))
+        return NULL;
+    return qc_impl(&fg, H, W, 0, K, min_area, max_area);
+}
+
+static PyObject *quad_candidates_packed(PyObject *self, PyObject *args) {
+    Py_buffer fg;
+    Py_ssize_t H, W, Wb, K;
+    double min_area, max_area;
+    if (!PyArg_ParseTuple(args, "y*nnnndd", &fg, &H, &W, &Wb, &K, &min_area, &max_area))
+        return NULL;
+    if (Wb * 8 < W) {
+        PyBuffer_Release(&fg);
+        PyErr_SetString(PyExc_ValueError, "Wb too small for W");
+        return NULL;
+    }
+    return qc_impl(&fg, H, W, Wb, K, min_area, max_area);
+}
+
 static PyMethodDef methods[] = {
     {"quad_candidates", quad_candidates, METH_VARARGS,
      "Two-pass union-find CCL + farthest-point quad corners."},
+    {"quad_candidates_packed", quad_candidates_packed, METH_VARARGS,
+     "Same, reading a bit-packed (H, Wb) mask (np.packbits little-endian)."},
     {NULL, NULL, 0, NULL},
 };
 

@@ -112,6 +112,7 @@ def estimate_pose_mp(
     batch_size: int = 32,
     mesh=None,
     pipeline_mode: str = "auto",
+    detector_params=None,
     verbose: bool = True,
 ) -> dict:
     """Batched marker detection + PnP over all images (vican/cam.py:190-265).
@@ -146,6 +147,7 @@ def estimate_pose_mp(
         batch_size=batch_size,
         mesh=mesh,
         pipeline_mode=pipeline_mode,
+        detector_params=detector_params,
         verbose=verbose,
     )
 

@@ -116,6 +116,10 @@ class DetectorParams(NamedTuple):
     error_correction_rate: float = 0.6  # cv2 errorCorrectionRate default
     decode_samples: int = 5  # NxN samples per bit cell
     use_pallas_threshold: bool | None = None  # fused one-pass TPU kernel; None = auto (TPU yes)
+    # Device-mode mask compaction: per-(image, window) capacity for shipped
+    # 16x16 mask tiles, as a fraction of the tile grid.  Marker scenes run
+    # ~12% occupancy; overflowing frames fall back to full masks (exact).
+    mask_tile_rate: float = 0.25
     subpix_win: int = 5  # cornerSubPix half-window (cv2 winSize=(5,5))
     subpix_iters: int = 50  # cornerRefinementMaxIterations (cam.py:133)
     subpix_acc: float = 0.05  # cornerRefinementMinAccuracy (cam.py:131)

@@ -823,9 +823,20 @@ def so3_sync_large_sharded(
         out_specs=(P(), P(axis), P(), P(), P(), P(), P()),
         check_vma=False,
     )
+
+    def to_global(x):
+        """Chunk-axis-sharded global array; works for single- AND
+        multi-process meshes (each process serves its addressable shards
+        from the full host copy — all processes hold identical data)."""
+        from jax.sharding import NamedSharding
+
+        x = np.asarray(x)
+        sharding = NamedSharding(mesh, P(axis))
+        return jax.make_array_from_callback(x.shape, sharding, lambda idx: x[idx])
+
     with jax.default_matmul_precision("highest"):
         r_cam, r_time, evals5, eigengap, it, ev_hist, gap_hist = jax.jit(sharded)(
-            jnp.asarray(KR_s), jnp.asarray(k_s), jnp.asarray(cam_s), jnp.asarray(tloc_s)
+            to_global(KR_s), to_global(k_s), to_global(cam_s), to_global(tloc_s)
         )
     return SyncResult(
         r_cam=r_cam, r_time=r_time[:T], evals=evals5, eigengap=eigengap, num_iters=it,
