@@ -22,7 +22,15 @@ import numpy as np
 
 from .geometry import SE3
 
-__all__ = ["make_cube_markers", "render_image", "render_dataset", "look_at"]
+__all__ = [
+    "make_cube_markers",
+    "render_image",
+    "render_dataset",
+    "look_at",
+    "boxes_intersect",
+    "cams_seeing",
+    "cube_pose_candidate",
+]
 
 
 def make_cube_markers(
@@ -86,17 +94,118 @@ def look_at(position, target, up=(0, 0, 1.0)) -> SE3:
     return SE3(R=R, t=position)
 
 
+def boxes_intersect(c_a, half_a, R_a, c_b, half_b, R_b) -> bool:
+    """Oriented-box overlap via the separating-axis theorem.
+
+    Replaces the reference's Blender BVH mesh-overlap test
+    (render.py:164-205): candidate cube poses are rejected when the cube
+    intersects a keep-out volume.  15 candidate axes (3 + 3 face normals +
+    9 edge cross products).
+    """
+    c_a, c_b = np.asarray(c_a, float), np.asarray(c_b, float)
+    half_a, half_b = np.asarray(half_a, float), np.asarray(half_b, float)
+    R_a, R_b = np.asarray(R_a, float), np.asarray(R_b, float)
+    d = c_b - c_a
+    axes = [R_a[:, i] for i in range(3)] + [R_b[:, i] for i in range(3)]
+    for i in range(3):
+        for j in range(3):
+            cr = np.cross(R_a[:, i], R_b[:, j])
+            n = np.linalg.norm(cr)
+            if n > 1e-9:
+                axes.append(cr / n)
+    for ax in axes:
+        ra = np.sum(half_a * np.abs(ax @ R_a))
+        rb = np.sum(half_b * np.abs(ax @ R_b))
+        if abs(ax @ d) > ra + rb:
+            return False
+    return True
+
+
+def cams_seeing(cams: dict, point, distance_cutoff: float = 7.0) -> list:
+    """Camera ids whose frustum contains ``point`` within the cutoff.
+
+    The reference's visibility test (render.py:348-371, 374-390): point in
+    front of the camera, projecting inside the image, closer than
+    ``distance_cutoff`` (7 m in the reference scenes).
+    """
+    point = np.asarray(point, float)
+    seen = []
+    for cid, cam in cams.items():
+        pc = cam.extrinsics.inv().apply(point.reshape(3, 1)).ravel()
+        if pc[2] <= 0.05 or np.linalg.norm(pc) > distance_cutoff:
+            continue
+        K = np.asarray(cam.intrinsics, float)
+        u = K[0, 0] * pc[0] / pc[2] + K[0, 2]
+        v = K[1, 1] * pc[1] / pc[2] + K[1, 2]
+        if 0 <= u < cam.resolution_x and 0 <= v < cam.resolution_y:
+            seen.append(cid)
+    return seen
+
+
+def cube_pose_candidate(
+    rng: np.random.Generator,
+    cams: dict,
+    region_low,
+    region_high,
+    *,
+    cube_size: float = 0.575,
+    keep_out=(),
+    min_views: int = 2,
+    distance_cutoff: float = 7.0,
+    max_tries: int = 200,
+) -> SE3 | None:
+    """Sample an accepted object pose like the reference's scene generators
+    (render.py:297-371): uniform position in ``[region_low, region_high]``
+    and uniform random rotation, rejected until the cube avoids every
+    keep-out box and its center is in view of at least ``min_views`` cameras
+    within ``distance_cutoff``.  ``keep_out``: iterable of ``(center,
+    half_sizes)`` or ``(center, half_sizes, R)`` boxes.  Returns None when
+    no candidate is accepted in ``max_tries`` draws.
+    """
+    from .geometry import rodrigues
+
+    lo = np.asarray(region_low, float)
+    hi = np.asarray(region_high, float)
+    half = np.full(3, cube_size / 2.0)
+    for _ in range(max_tries):
+        pos = rng.uniform(lo, hi)
+        v = rng.normal(size=3)
+        v = v / max(np.linalg.norm(v), 1e-12) * rng.uniform(0.0, np.pi)
+        R = rodrigues(v)
+        bad = False
+        for box in keep_out:
+            c_b, h_b = box[0], box[1]
+            R_b = box[2] if len(box) > 2 else np.eye(3)
+            if boxes_intersect(pos, half, R, c_b, h_b, R_b):
+                bad = True
+                break
+        if bad:
+            continue
+        if len(cams_seeing(cams, pos, distance_cutoff)) < min_views:
+            continue
+        return SE3(R=R, t=pos)
+    return None
+
+
 def render_image(
     cam,
     marker_world: dict,
     marker_images: dict,
     marker_size: float,
     background: int = 170,
+    occluders=(),
 ) -> np.ndarray:
-    """Rasterize markers into one camera image (painter's algorithm).
+    """Rasterize markers (and occluder boxes) into one camera image.
 
     ``marker_world``: {id: SE3 marker->world}; ``marker_images``: {id: uint8
-    square marker bitmap}.  Returns uint8 (H, W, 3) BGR.
+    square marker bitmap}; ``occluders``: iterable of ``(SE3 box->world,
+    half_sizes)`` gray boxes that hide markers behind them.  Returns uint8
+    (H, W, 3) BGR.
+
+    A single painter's draw list covers marker quads and occluder box faces
+    sorted far-to-near by centroid depth — quad-granularity occlusion (the
+    scene generators keep geometry non-interpenetrating via the keep-out
+    test, where painter ordering is exact for convex bodies).
 
     Lens distortion: marker corners are projected through the camera's full
     OpenCV distortion model (the 12-coefficient rational/thin-prism set the
@@ -120,27 +229,55 @@ def render_image(
     # marker corners, TL TR BR BL in the marker frame (z = 0 plane)
     corners_m = np.array([[-h, h, 0], [h, h, 0], [h, -h, 0], [-h, -h, 0]])
 
-    depths = []
+    def project(pts_c):
+        rvec = np.zeros(3)
+        proj, _ = cv.projectPoints(pts_c, rvec, np.zeros(3), K, dist)
+        return proj.reshape(-1, 2)
+
+    draw_list = []  # (mean_depth, kind, payload)
     for mid, pose_w in marker_world.items():
         pc = cam_inv @ pose_w  # marker -> camera
-        depths.append((pc.t()[2], mid, pc))
-    # far to near
-    for _, mid, pc in sorted(depths, key=lambda x: -x[0]):
         Rmc, tmc = np.asarray(pc.R(), float), np.asarray(pc.t(), float)
         if tmc[2] <= 0.05:
             continue
         # facing check: marker +z toward the camera
-        normal_c = Rmc[:, 2]
-        if np.dot(normal_c, tmc) >= 0:
+        if np.dot(Rmc[:, 2], tmc) >= 0:
             continue
         pts_c = corners_m @ Rmc.T + tmc
         if (pts_c[:, 2] <= 0.05).any():
             continue
-        rvec, _ = cv.Rodrigues(Rmc)
-        proj, _ = cv.projectPoints(corners_m, rvec, tmc.reshape(3, 1), K, dist)
-        proj = proj.reshape(4, 2)
+        proj = project(pts_c)
         if (proj[:, 0] < -50).all() or (proj[:, 0] > W + 50).all():
             continue
+        draw_list.append((pts_c[:, 2].mean(), "marker", (mid, proj)))
+
+    hx = np.array([[1, 1, -1, -1, 1, 1, -1, -1],
+                   [1, -1, -1, 1, 1, -1, -1, 1],
+                   [1, 1, 1, 1, -1, -1, -1, -1]], float).T  # box corner signs
+    face_idx = [(0, 1, 2, 3), (4, 5, 6, 7), (0, 1, 5, 4),
+                (2, 3, 7, 6), (1, 2, 6, 5), (3, 0, 4, 7)]
+    for pose_w, half in occluders:
+        pc = cam_inv @ pose_w
+        Rb, tb = np.asarray(pc.R(), float), np.asarray(pc.t(), float)
+        corners_c = (hx * np.asarray(half, float)) @ Rb.T + tb
+        for fi, f in enumerate(face_idx):
+            pts_c = corners_c[list(f)]
+            if (pts_c[:, 2] <= 0.05).any():
+                continue
+            # backface cull via the face normal in camera coords
+            n = np.cross(pts_c[1] - pts_c[0], pts_c[3] - pts_c[0])
+            if np.dot(n, pts_c.mean(axis=0)) >= 0:
+                n = -n
+            shade = int(np.clip(90 + 60 * abs(n[2]) / max(np.linalg.norm(n), 1e-9), 0, 255))
+            draw_list.append((pts_c[:, 2].mean(), "face", (project(pts_c), shade)))
+
+    for _, kind, payload in sorted(draw_list, key=lambda x: -x[0]):
+        if kind == "face":
+            proj, shade = payload
+            poly = np.round(proj).astype(np.int32)
+            cv.fillConvexPoly(img, poly, shade, lineType=cv.LINE_AA)
+            continue
+        mid, proj = payload
         tile = marker_images[mid]
         N = tile.shape[0]
         # continuous marker square spans [-0.5, N-0.5] in source pixel-center
@@ -169,11 +306,34 @@ def render_dataset(
     marker_size: float = 0.48 * 0.575 / 2,
     marker_px: int = 120,
     jpeg_quality: int = 95,
+    occluders=(),
+    shard: tuple | None = None,
+    resume: bool = False,
+    only_visible_cams: bool = False,
+    distance_cutoff: float = 7.0,
 ) -> None:
     """Write a full Dataset-layout directory.
 
     ``cams``: {cam_id: Camera}; ``obj_traj``: {t: SE3 object->world};
-    ``marker_poses``: {marker_id: SE3 marker->object}.
+    ``marker_poses``: {marker_id: SE3 marker->object};
+    ``occluders``: ``(SE3, half_sizes)`` boxes passed to
+    :func:`render_image`.
+
+    Render-farm features mirroring the reference's multi-process driver
+    (render.py:491-519):
+
+    - ``shard=(core_id, num_cores)``: this invocation renders only the
+      timesteps with ``index % num_cores == core_id`` (the reference's
+      ``t = i * num_cores + core_id`` striping) and writes its ground-truth
+      poses to ``object_pose_<core_id>.json`` — per-shard output files, no
+      write races; :class:`~vican_tpu.dataset.Dataset` merges all shards.
+    - ``resume=True``: an existing ``object_pose_<core_id>.json`` is
+      reloaded and appended to, and timesteps whose images already exist
+      are skipped (the reference's reload-append restart support,
+      render.py:506-515).
+    - ``only_visible_cams``: render only the cameras that actually see the
+      object center (render.py:374-390), like the real datasets where a
+      timestep directory holds images from a camera subset.
     """
     import cv2 as cv
 
@@ -208,20 +368,42 @@ def render_dataset(
     with open(os.path.join(root, "cameras.json"), "w") as f:
         json.dump(cams_json, f)
 
+    core_id, num_cores = shard if shard is not None else (0, 1)
+    pose_file = os.path.join(root, f"object_pose_{core_id}.json")
     obj_json = {}
-    for t, obj_pose in obj_traj.items():
-        obj_json[t] = {
+    if resume and os.path.exists(pose_file):
+        with open(pose_file) as f:
+            obj_json = json.load(f)
+
+    for i, (t, obj_pose) in enumerate(obj_traj.items()):
+        if shard is not None and i % num_cores != core_id:
+            continue
+        visible = (
+            cams_seeing(cams, obj_pose.t(), distance_cutoff)
+            if only_visible_cams else list(cams)
+        )
+        tdir = os.path.join(root, str(t))
+        if resume and str(t) in obj_json and all(
+            os.path.exists(os.path.join(tdir, f"{cid}.jpg")) for cid in visible
+        ):
+            continue
+        obj_json[str(t)] = {
             "R": np.asarray(obj_pose.R(), float).tolist(),
             "t": np.asarray(obj_pose.t(), float).tolist(),
         }
         marker_world = {m: obj_pose @ mp for m, mp in marker_poses.items()}
-        tdir = os.path.join(root, str(t))
         os.makedirs(tdir, exist_ok=True)
-        for cid, cam in cams.items():
-            img = render_image(cam, marker_world, marker_images, marker_size)
+        for cid in visible:
+            img = render_image(cams[cid], marker_world, marker_images,
+                               marker_size, occluders=occluders)
             cv.imwrite(
                 os.path.join(tdir, f"{cid}.jpg"), img,
                 [cv.IMWRITE_JPEG_QUALITY, jpeg_quality],
             )
-    with open(os.path.join(root, "object_pose_0.json"), "w") as f:
-        json.dump(obj_json, f)
+        # write-through after every timestep: a killed render farm process
+        # resumes from the last completed timestep (render.py:506-515)
+        with open(pose_file, "w") as f:
+            json.dump(obj_json, f)
+    if not obj_traj or not os.path.exists(pose_file):
+        with open(pose_file, "w") as f:
+            json.dump(obj_json, f)
