@@ -5,9 +5,10 @@ factors an effectively dense 30k x 30k power graph — vican/bipgo.py:288);
 this measures our chunked large-graph path (solver/scale.py) on the real
 device.
 
-Measurement rules (CLAUDE.md): ``jax.block_until_ready`` is a NO-OP under
-the axon tunnel, so every timing forces a fetch with ``np.asarray``.  Warm
-numbers are a median over ``--reps`` runs after one compile run.
+Measurement rules (CLAUDE.md): under jax 0.9 ``block_until_ready`` waits for
+device compute but NOT D2H, so every timing forces a fetch with
+``np.asarray``.  Warm numbers are a median over ``--reps`` runs after one
+compile run.
 
 Writes ``benchmarks/scale_result.json`` (read by bench.py as a recorded
 detail) and prints one JSON line.
@@ -101,6 +102,11 @@ def main():
     ap.add_argument("--no-wire", action="store_true",
                     help="ship (E,3,3) f32 blocks instead of int16 quats")
     ap.add_argument("--no-save", action="store_true", help="print only, don't overwrite scale_result.json")
+    ap.add_argument("--midsize-oracle", action="store_true",
+                    help="ALSO run the dense-eigh core path (feasible at this "
+                         "size) and report the cross-path rotation delta — "
+                         "the mid-size accuracy oracle of VERDICT r2 item 5; "
+                         "use with --cams ~2048")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -146,6 +152,37 @@ def main():
     assert np.isfinite(r_cam).all() and ortho_err < 1e-2, ortho_err
     rot_mean_deg, rot_max_deg = gt_rotation_error_deg(r_cam, R_c_gt)
 
+    oracle = None
+    if args.midsize_oracle:
+        # exact dense-eigh oracle at a size where it is still feasible
+        # (O((3C)^3) per iteration: ~1.6 s at 3C = 6000 on a v5e)
+        from vican_tpu.ops.lie import distance_so3
+        from vican_tpu.solver import core
+
+        def run_dense():
+            t0 = time.perf_counter()
+            res = core.so3_sync(
+                jnp.asarray(KR), jnp.asarray(k_r), jnp.asarray(cam_idx),
+                jnp.asarray(time_idx), C=C, T=T,
+                maxiter=jnp.asarray(args.maxiter, jnp.int32),
+            )
+            rc = np.asarray(res.r_cam)
+            return time.perf_counter() - t0, rc
+
+        dense_compile_s, r_dense = run_dense()
+        dense_warm_s, r_dense = run_dense()
+        d = np.asarray(distance_so3(r_cam.astype(np.float64),
+                                    r_dense.astype(np.float64)))
+        dm, dx = gt_rotation_error_deg(r_dense, R_c_gt)
+        oracle = {
+            "dense_warm_s": round(dense_warm_s, 3),
+            "dense_compile_run_s": round(dense_compile_s, 2),
+            "cross_path_rot_delta_mean_deg": round(float(d.mean()), 5),
+            "cross_path_rot_delta_max_deg": round(float(d.max()), 5),
+            "dense_gt_rot_err_mean_deg": round(dm, 5),
+            "dense_gt_rot_err_max_deg": round(dx, 5),
+        }
+
     result = {
         "metric": f"so3_sync_large warm wall-clock ({C} cams, {T} timesteps, {E} edges, maxiter={args.maxiter})",
         "value": round(warm_s, 3),
@@ -169,6 +206,8 @@ def main():
             "measured_with_forced_fetch": True,
         },
     }
+    if oracle is not None:
+        result["details"]["midsize_oracle"] = oracle
     if not args.no_save:
         out_path = os.path.join(REPO, "benchmarks", "scale_result.json")
         with open(out_path, "w") as f:
