@@ -7,14 +7,16 @@ at, in one of three pipeline modes (auto-selected; see
 
 - ``"device"`` (default): the adaptive-threshold sweep (reference
   cam.py:147 with params at cam.py:132-135) runs ON DEVICE — the fused
-  Pallas kernel on TPU, integral-image XLA elsewhere — emitting bit-packed
-  masks (W/8 bytes per row) that ship back for the C union-find quad
-  extractor (_native/fastccl.c).  Labeling is irregular pointer-chasing
-  where a CPU two-pass beats any dense-tensor formulation; everything else
-  (refine, decode, dedup, PnP) is a second fused device program.
+  Pallas kernel on TPU, integral-image XLA elsewhere — and ships back only
+  the OCCUPIED 16x16 tiles of the bit-packed masks (~4-8x smaller than the
+  full masks; exact, with a full-mask fallback on overflow).  The C
+  union-find quad extractor (_native/fastccl.c) reads the packed bits
+  directly — labeling is irregular pointer-chasing where a CPU two-pass
+  beats any dense-tensor formulation; everything else (refine, decode,
+  dedup, PnP) is a second fused device program returning ONE packed result
+  buffer.
 - ``"host"``: the round-1 hybrid — threshold via host box filters.  Kept for
-  hosts behind a slow device link (the packed-mask D2H is ~W*H/8 bytes per
-  window per image).
+  hosts where the device link is the bottleneck even for compacted tiles.
 - ``"pure"``: no native kernel available (``VICAN_TPU_NO_NATIVE=1`` or no C
   toolchain) — the whole detection pipeline, including connected components,
   runs as one jitted device program (:func:`vican_tpu.ops.detect.
