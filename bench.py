@@ -153,6 +153,15 @@ def main():
         with open(scale_path) as f:
             sr = json.load(f)
         details["scale_10kcam_warm_s_recorded"] = sr["value"]
+    # Perception throughput, recorded by benchmarks/perception_bench.py
+    # (includes the MEASURED reference-cv2 pipeline on the same scene/host).
+    perc_path = os.path.join(REPO, "benchmarks", "perception_result.json")
+    if os.path.isfile(perc_path):
+        with open(perc_path) as f:
+            pr = json.load(f)
+        details["perception_img_per_s_recorded"] = {
+            m: v.get("img_per_s") for m, v in pr.get("modes", {}).items()
+        }
     print(json.dumps({
         "metric": "large_shop_synth se3sync wall-clock (100 cams, 10k timesteps, 120k edges)",
         "value": round(ours_s, 4),
