@@ -487,3 +487,28 @@ def test_mixed_resolution_cameras(tmp_path):
     # detections from BOTH resolution groups
     assert any(c.startswith("g0") for c in seen_cams), seen_cams
     assert any(c.startswith("g1") for c in seen_cams), seen_cams
+
+
+def test_tile_capacity_never_exceeds_grid(monkeypatch):
+    """Regression: _tile_capacity's minimum floor (32) and round-up-to-4
+    must not exceed the tile grid on small frames (the payload reshape
+    would fail at trace time), incl. mask_tile_rate ~ 1."""
+    import jax.numpy as jnp
+
+    from vican_tpu.ops.detect import DetectorParams
+    from vican_tpu.perception import (
+        _build_threshold_compact, _masks_from_tiles, _tile_capacity, _tile_grid,
+    )
+
+    for (H, W), rate in [((64, 64), 0.25), ((144, 144), 1.0), ((48, 120), 0.9)]:
+        params = DetectorParams(mask_tile_rate=rate)
+        _, _, Ht, Wt = _tile_grid(H, W)
+        K = _tile_capacity(H, W, params)
+        assert K <= Ht * Wt, (H, W, rate, K)
+        # the compact program must build and run at this size
+        run = _build_threshold_compact(2, H, W, params, use_pallas=False)
+        gray = np.full((2, H, W), 200, np.uint8)
+        gray[:, 10:30, 10:30] = 20
+        sel, payload, counts, _ = run(jnp.asarray(gray))
+        masks = _masks_from_tiles(np.asarray(sel), np.asarray(payload), H, W)
+        assert masks.shape[-2:] == (H, W)

@@ -67,11 +67,23 @@ def _log_sync_result(tm: PhaseTimer, result) -> None:
     if result.evals_hist is not None:
         eh = np.asarray(result.evals_hist)
         gh = np.asarray(result.gap_hist)
-        for i in range(min(n, eh.shape[0])):
+        shown = min(n, eh.shape[0])
+        for i in range(shown):
+            # iterations past the history capacity overwrite the last slot,
+            # so when capped, the final row carries the LAST iteration
+            label = (
+                f"{i + 1}/{n}" if n <= eh.shape[0]
+                else (f"{i + 1}/{n}" if i < shown - 1 else f"{n}/{n}")
+            )
             tm.log(
-                "  it {}/{}: evals: {}  eigengap: {:1.3e}".format(
-                    i + 1, n, np.array2string(eh[i], precision=3), float(gh[i])
+                "  it {}: evals: {}  eigengap: {:1.3e}".format(
+                    label, np.array2string(eh[i], precision=3), float(gh[i])
                 )
+            )
+        if n > eh.shape[0]:
+            tm.log(
+                f"  (per-iteration history capped at {eh.shape[0]} rows; "
+                f"iterations {shown}..{n - 1} not recorded)"
             )
     tm.log(
         "Iterations: {}  evals: {}  eigengap: {:1.3e}".format(

@@ -69,8 +69,17 @@ def load_images(filenames: Iterable[str]) -> np.ndarray:
 
 
 def _probe_image_size(fn: str) -> tuple[int, int]:
-    """Actual image size ``(H, W)`` from the file header (no full decode)."""
-    from PIL import Image
+    """Actual image size ``(H, W)`` from the file header (no full decode;
+    falls back to a cv2 decode when PIL is unavailable)."""
+    try:
+        from PIL import Image
+    except ImportError:
+        import cv2 as cv
+
+        im = cv.imread(fn)
+        if im is None:
+            raise FileNotFoundError(f"could not read image: {fn}") from None
+        return im.shape[:2]
 
     with Image.open(fn) as im:
         w, h = im.size
@@ -160,18 +169,29 @@ def quads_from_masks(fg: np.ndarray, params) -> tuple[np.ndarray, np.ndarray, np
     if ccl is None:
         raise RuntimeError("fastccl unavailable; use the pure-device detect path")
 
-    B, Wn, H, W = fg.shape
+    B = fg.shape[0]
+    H, W = fg.shape[2], fg.shape[3]
+    return _collect_window_candidates(
+        B, fg.shape[1], H, W, params,
+        lambda b, wi: ccl.quad_candidates(
+            np.ascontiguousarray(fg[b, wi], dtype=np.uint8), H, W,
+            params.max_candidates, params.min_area,
+            params.max_area_rate * H * W,
+        ),
+    )
+
+
+def _collect_window_candidates(B, Wn, H, W, params, extract):
+    """Shared tail of the C candidate extractors: collect per-(image,
+    window) quads into fixed slots, enforce clockwise winding, apply the
+    validity gates.  ``extract(b, wi) -> (corners_bytes, area_bytes, n)``."""
     K = params.max_candidates
     quads = np.zeros((B, Wn * K, 4, 2), np.float32)
     areas = np.zeros((B, Wn * K), np.float32)
     valid = np.zeros((B, Wn * K), bool)
-    max_area = params.max_area_rate * H * W
     for b in range(B):
         for wi in range(Wn):
-            c_bytes, a_bytes, cnt = ccl.quad_candidates(
-                np.ascontiguousarray(fg[b, wi], dtype=np.uint8), H, W, K,
-                params.min_area, max_area,
-            )
+            c_bytes, a_bytes, cnt = extract(b, wi)
             q = np.frombuffer(c_bytes, np.float32).reshape(K, 4, 2)
             a = np.frombuffer(a_bytes, np.int32)
             sl = wi * K
@@ -204,31 +224,14 @@ def quads_from_packed_masks(packed: np.ndarray, H: int, W: int, params):
         return quads_from_masks(fg[:, :, :H], params)
 
     B, Wn, Hrows, Wb = packed.shape
-    K = params.max_candidates
-    quads = np.zeros((B, Wn * K, 4, 2), np.float32)
-    areas = np.zeros((B, Wn * K), np.float32)
-    valid = np.zeros((B, Wn * K), bool)
-    max_area = params.max_area_rate * H * W
-    for b in range(B):
-        for wi in range(Wn):
-            c_bytes, a_bytes, cnt = ccl.quad_candidates_packed(
-                np.ascontiguousarray(packed[b, wi, :H]), H, W, Wb, K,
-                params.min_area, max_area,
-            )
-            q = np.frombuffer(c_bytes, np.float32).reshape(K, 4, 2)
-            a = np.frombuffer(a_bytes, np.int32)
-            sl = wi * K
-            quads[b, sl : sl + K] = q
-            areas[b, sl : sl + K] = a
-            valid[b, sl : sl + cnt] = True
-
-    x = quads[..., 0]
-    y = quads[..., 1]
-    shoelace = np.sum(x * np.roll(y, -1, -1) - np.roll(x, -1, -1) * y, axis=-1)
-    flip = shoelace < 0
-    quads[flip] = quads[flip][:, [0, 3, 2, 1]]
-    valid &= _quad_gates(quads, areas, H, W, params)
-    return quads, valid, areas
+    return _collect_window_candidates(
+        B, Wn, H, W, params,
+        lambda b, wi: ccl.quad_candidates_packed(
+            np.ascontiguousarray(packed[b, wi, :H]), H, W, Wb,
+            params.max_candidates, params.min_area,
+            params.max_area_rate * H * W,
+        ),
+    )
 
 
 def _packed_from_tiles(sel, payload, Hp, Wp_bytes):
@@ -362,9 +365,14 @@ def _tile_grid(H, W):
 
 
 def _tile_capacity(H, W, params) -> int:
-    n_tiles = _tile_grid(H, W)[2] * _tile_grid(H, W)[3]
-    K = max(32, min(n_tiles, int(n_tiles * params.mask_tile_rate)))
-    return -(-K // 4) * 4  # K*32 stays a multiple of 128 (transfer layout)
+    _, _, Ht, Wt = _tile_grid(H, W)
+    n_tiles = Ht * Wt
+    K = -(-max(32, int(n_tiles * params.mask_tile_rate)) // 4) * 4
+    # K*32 stays a multiple of 128 (transfer layout) — but never exceed the
+    # grid: order[..., :K] silently clamps to n_tiles and the payload
+    # reshape would then fail at trace time (small frames, bucketing off,
+    # or mask_tile_rate ~ 1)
+    return min(n_tiles, K)
 
 
 def _build_threshold_compact(B, H, W, params, use_pallas):
@@ -380,7 +388,8 @@ def _build_threshold_compact(B, H, W, params, use_pallas):
     all-background, and when a busy frame overflows K the caller falls back
     to the full-mask program (:func:`_build_threshold`) for that batch.
 
-    Returns ``(sel (B, Wn, K) int32, payload (B, Wn, K, 32) uint8,
+    Returns ``(sel (B, Wn, K) int32, payload (B, Wn, K*32) uint8 — flat so
+    the transfer layout does not pad a small minor dim, see below —
     counts (B, Wn) int32, gray_f32)``.
     """
     import jax
@@ -468,7 +477,7 @@ def _pnp_block(B, params, lm_iters, marker_size, pnp_method="ippe_square"):
     return run
 
 
-def _unpack_pnp_result(out_t: np.ndarray, D: int):
+def _unpack_pnp_result(out_t: np.ndarray):
     """Host inverse of the pnp block's packed (23, B*D) result buffer.
 
     Returns ``(corners (N,4,2), ids, ok, R (N,3,3), t (N,3), err)``.
@@ -775,7 +784,7 @@ def estimate_pose_batched(
         nonlocal total_det
         batch_files, batch_cams, nb, result = handle
         Dcap = params.max_detections
-        corners, ids, ok, R, t, err = _unpack_pnp_result(result, Dcap)
+        corners, ids, ok, R, t, err = _unpack_pnp_result(result)
         R = R.astype(np.float64)
         t = t.astype(np.float64)
         for j in range(nb):

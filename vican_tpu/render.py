@@ -400,10 +400,11 @@ def render_dataset(
                 os.path.join(tdir, f"{cid}.jpg"), img,
                 [cv.IMWRITE_JPEG_QUALITY, jpeg_quality],
             )
-        # write-through after every timestep: a killed render farm process
-        # resumes from the last completed timestep (render.py:506-515)
-        with open(pose_file, "w") as f:
-            json.dump(obj_json, f)
-    if not obj_traj or not os.path.exists(pose_file):
-        with open(pose_file, "w") as f:
-            json.dump(obj_json, f)
+        # periodic write-through (every 25 timesteps): a killed render farm
+        # process resumes from the last flushed timestep (render.py:506-515
+        # rewrites per timestep, which is O(T^2) json encoding at 10k steps)
+        if len(obj_json) % 25 == 0:
+            with open(pose_file, "w") as f:
+                json.dump(obj_json, f)
+    with open(pose_file, "w") as f:
+        json.dump(obj_json, f)

@@ -31,7 +31,17 @@ MAX_HOST_EDGES = 200_000
 def host_f64_enabled(num_edges: int) -> bool:
     """Whether an f64-requested translation solve runs on the host at this
     size (always, unless the user capped it via VICAN_TPU_MAX_HOST_EDGES)."""
-    cap = int(os.environ.get("VICAN_TPU_MAX_HOST_EDGES", 0))
+    raw = os.environ.get("VICAN_TPU_MAX_HOST_EDGES", "0")
+    try:
+        cap = int(raw)
+    except ValueError:
+        import warnings
+
+        warnings.warn(
+            f"ignoring malformed VICAN_TPU_MAX_HOST_EDGES={raw!r} "
+            "(expected an integer)"
+        )
+        cap = 0
     return cap <= 0 or num_edges <= cap
 
 
