@@ -269,11 +269,10 @@ def iterative_planar(corners_px, K, dist, marker_size, lm_iters: int = 20):
 
     H = homography_4pt(obj[:, :2], xy)
     h1, h2, h3 = H[:, 0], H[:, 1], H[:, 2]
-    # depth-sign guard: homography_4pt pins H[2,2] = 1, which puts the
-    # marker center at normalized depth +1 already; keep an explicit flip
-    # on t_z < 0 in case a degenerate DLT solve lands behind the camera
-    flip = jnp.where(h3[2] < 0, -1.0, 1.0)
-    h1, h2, h3 = h1 * flip, h2 * flip, h3 * flip
+    # no depth-sign flip needed: homography_4pt pins H[2,2] = 1, so the
+    # marker center maps to normalized depth t_z = 1/s > 0 by construction
+    # (OpenCV's cvFindExtrinsicCameraParams2 flips on negative depth, but
+    # its DLT does not normalize H[2,2], ours does)
     s = jnp.sqrt(jnp.maximum(jnp.linalg.norm(h1) * jnp.linalg.norm(h2), 1e-30))
     R0 = jnp.stack([h1 / s, h2 / s, jnp.cross(h1, h2) / (s * s)], axis=1)
     R0 = project_so3(R0[None])[0]  # nearest rotation (det fix)

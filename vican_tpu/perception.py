@@ -83,6 +83,16 @@ def _probe_image_size(fn: str) -> tuple[int, int]:
 
     with Image.open(fn) as im:
         w, h = im.size
+        try:
+            orientation = im.getexif().get(0x0112, 1)
+        except Exception:
+            orientation = 1
+    # cv2.imread applies EXIF orientation when decoding; 90-degree
+    # orientations (5-8) swap the decoded H/W relative to the header size,
+    # so the probe must match or a rotated JPEG in a resolution-less rig
+    # would group under a transposed key and fail with a mixed-shape error
+    if orientation in (5, 6, 7, 8):
+        w, h = h, w
     return (h, w)
 
 
@@ -401,9 +411,18 @@ def _build_threshold_compact(B, H, W, params, use_pallas):
     Wn = len(params.win_sizes)
 
     @jax.jit
-    def run(gray_u8):
+    def run(gray_u8, h_true, w_true):
         packed, gray = full(gray_u8)
         Wb = packed.shape[-1]
+        # zero the bucket-padding region (rows >= h_true, columns >=
+        # w_true) BEFORE tile occupancy: replicate-pad threshold garbage
+        # there is cropped on host anyway, but counting it toward tile
+        # capacity can needlessly trigger the full-mask fallback (and its
+        # cold compile) on frames that would otherwise fit (ADVICE r3)
+        row_ok = (jnp.arange(packed.shape[2]) < h_true)[:, None]
+        shift = jnp.clip(w_true - 8 * jnp.arange(Wb), 0, 8)
+        col_mask = jnp.where(shift >= 8, 255, (1 << shift) - 1).astype(jnp.uint8)
+        packed = packed & jnp.where(row_ok, col_mask[None, :], 0)[None, None]
         packed = jnp.pad(
             packed, ((0, 0), (0, 0), (0, Hp - H), (0, Wb2 - Wb))
         )
@@ -719,7 +738,8 @@ def estimate_pose_batched(
                 lambda: _build_threshold_compact(B, Hp, Wp, params, use_pallas),
             )
             (gray_dev,) = shard([gray])
-            sel, payload, counts, gray_f32 = run(gray_dev)
+            H, W = hw
+            sel, payload, counts, gray_f32 = run(gray_dev, np.int32(H), np.int32(W))
             return ((batch_files, batch_cams, nb), (sel, payload, counts),
                     gray, gray_f32, Ks, dists, hw)
 

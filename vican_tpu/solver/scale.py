@@ -201,7 +201,12 @@ def _lmax_lanczos(mv, v0, k: int):
         w = w - alpha * v
         w = w - V @ (V.T @ w)  # full reorthogonalization (j+1 live columns)
         beta_new = jnp.linalg.norm(w)
-        v_new = w / jnp.maximum(beta_new, 1e-30)
+        # breakdown guard: an invariant Krylov subspace leaves w at pure
+        # round-off; w/1e-30 would be a huge vector whose later inner
+        # products can overflow f32 and NaN the bound — contribute benign
+        # zeros instead (theta_max of the filled columns is already exact)
+        broke = beta_new <= jnp.asarray(1e-7, dtype) * jnp.maximum(jnp.abs(alpha), 1.0)
+        v_new = jnp.where(broke, 0.0, w / jnp.maximum(beta_new, 1e-30))
         return (V, alphas.at[j].set(alpha), betas.at[j].set(beta_new),
                 v_new, v, beta_new)
 
