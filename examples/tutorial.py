@@ -61,7 +61,7 @@ def detect(dataset, path, use_cached):
 def make_synthetic(root, n_room=40, n_cube=60, res=(1280, 720)):
     """Render a small synthetic pair of datasets (room + cube calib) via the
     shared scene recipe (vican_tpu.synthetic.render_cube_scene)."""
-    from vican_tpu.synthetic import render_cube_scene
+    from vican_tpu.synthetic import calibration_sweep, render_cube_scene
 
     global MARKER_SIZE
     MARKER_SIZE = 0.138
@@ -73,10 +73,20 @@ def make_synthetic(root, n_room=40, n_cube=60, res=(1280, 720)):
         room, [(3, 0, 1.2), (0, 3, 1.5), (-3, 0, 1.0), (0, -3, 1.3)],
         n_room, seed=1, res=res, marker_size=MARKER_SIZE, wander=True,
     )
-    # calibration capture: one close-up camera so every face is seen well
+    # calibration capture: one close-up camera, DETERMINISTIC face sweep.
+    # Random tumbling (the reference uses 2000 frames of it,
+    # reference render.py:393-432) under-covers faces at tutorial scale
+    # (tens of frames): some marker ends up with only oblique views, its
+    # edges fail the reprojection keep-filter, the object stage cannot
+    # recover it, and the camera stage then drops its observations.  The
+    # sweep turns each face toward the camera at several spin angles so
+    # every marker gets frontal views while the tilt keeps the marker
+    # graph connected.
+    cube_pos = (1.1, 0.2, 1.1)
     render_cube_scene(
-        cube, [(1.3, 0.2, 1.1)], n_cube, seed=2, res=res,
-        marker_size=MARKER_SIZE, wander=True,
+        cube, [cube_pos], n_cube, seed=2, res=res,
+        marker_size=MARKER_SIZE,
+        traj=calibration_sweep(n_cube, cube_pos),
     )
     return room, cube
 
@@ -120,6 +130,15 @@ def main():
         dtype=np.float64,
     )
     print(f"object calibration: {len(obj_pose_est)} marker poses")
+    if args.synthetic and len(obj_pose_est) != len(MARKER_IDS):
+        # the synthetic fixtures are sized so every marker calibrates; a
+        # shortfall means the camera stage would silently drop edges
+        missing = sorted(set(MARKER_IDS) - set(obj_pose_est), key=int)
+        raise RuntimeError(
+            f"object stage recovered {len(obj_pose_est)}/{len(MARKER_IDS)} "
+            f"markers (missing {missing}) — the synthetic fixture should "
+            "cover all of them; see make_synthetic"
+        )
 
     # 2. Detect markers in the room capture — cell 5
     cam_marker_edges = detect(dataset, args.dataset, args.use_cached_edges)
@@ -166,7 +185,8 @@ def main():
         out_png = "calibration.png"
         plt.savefig(out_png, dpi=100)
         print(f"wrote {out_png}")
-    except Exception as e:  # plotting is best-effort
+    except ImportError as e:  # matplotlib genuinely absent: skip the plot;
+        # any other plotting failure is a real regression and must surface
         print(f"(plot skipped: {e})")
 
 

@@ -21,6 +21,10 @@ def test_tutorial_quick_synthetic(tmp_path, monkeypatch, capsys):
     tutorial.main()
     out = capsys.readouterr().out
     assert "SO(3)" in out and "wrote calibration.png" in out
+    # the object stage must recover ALL cube markers on the quick fixture
+    # (VERDICT r3 item 7: a shortfall silently drops camera-stage edges)
+    assert "object calibration: 24 marker poses" in out, out
+    assert "no constraint pose" not in out, out
     assert (tmp_path / "calibration.png").is_file()
     # parse the cell-9 style summary: avg rotation error under a degree and
     # avg translation error under 10 cm on the quick synthetic fixture

@@ -15,7 +15,8 @@ import numpy as np
 
 from .geometry import SE3, rodrigues
 
-__all__ = ["SyntheticProblem", "make_problem", "make_problem_arrays", "render_cube_scene"]
+__all__ = ["SyntheticProblem", "make_problem", "make_problem_arrays",
+           "render_cube_scene", "calibration_sweep"]
 
 
 class SyntheticProblem:
@@ -205,6 +206,70 @@ def make_problem_arrays(
     return SyntheticProblem(cams_gt, obj_gt, markers_gt, edges)
 
 
+def _rot_between(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Rotation matrix taking unit vector ``a`` onto unit vector ``b``."""
+    v = np.cross(a, b)
+    c = float(np.dot(a, b))
+    if np.linalg.norm(v) < 1e-12:
+        if c > 0:
+            return np.eye(3)
+        # antiparallel: rotate pi about any axis perpendicular to a
+        p = np.array([1.0, 0.0, 0.0]) if abs(a[0]) < 0.9 else np.array([0.0, 1.0, 0.0])
+        axis = np.cross(a, p)
+        return rodrigues(axis / np.linalg.norm(axis) * np.pi)
+    axis = v / np.linalg.norm(v)
+    return rodrigues(axis * np.arccos(np.clip(c, -1.0, 1.0)))
+
+
+def calibration_sweep(
+    n_frames: int,
+    cam_pos,
+    target=(0.0, 0.0, 1.0),
+) -> dict:
+    """Deterministic cube-calibration trajectory: ``{t: SE3}``.
+
+    Interleaves two view families so the marker graph is BOTH well-covered
+    and connected:
+
+    - **face views** (6): each face turned square toward the camera, spun
+      through varying in-plane angles — frontal, low-reprojection
+      detections so every marker survives the tutorial's keep-filter;
+    - **edge-bridge views** (12): the cube rotated so an *edge* midpoint
+      normal (n_i + n_j)/|.| points at the camera — both adjacent faces
+      at ~45 deg incidence, detectable together, which links the faces'
+      markers into one connected component (the cube's face-adjacency
+      graph is connected).
+
+    The reference's cube_calib capture brute-forces the same coverage with
+    2000 random tumbles (reference render.py:393-432, README.md:51); at
+    tutorial-fixture scale (tens of frames) random tumbling reliably
+    leaves some face under-covered or the graph disconnected.
+    """
+    d = np.asarray(cam_pos, float) - np.asarray(target, float)
+    d = d / np.linalg.norm(d)
+    normals = [np.array(n, float) for n in
+               [(1, 0, 0), (-1, 0, 0), (0, 1, 0), (0, -1, 0),
+                (0, 0, 1), (0, 0, -1)]]
+    views = []  # base rotations taking a cube direction onto the view axis
+    for n in normals:
+        views.append(_rot_between(n, d))
+    for i, ni in enumerate(normals):
+        for nj in normals[i + 1:]:
+            if abs(float(np.dot(ni, nj))) > 0.5:  # skip opposite faces
+                continue
+            e = ni + nj
+            views.append(_rot_between(e / np.linalg.norm(e), d))
+    out = {}
+    for t in range(n_frames):
+        R0 = views[t % len(views)]
+        # vary the in-plane spin across repeats of the same view so face
+        # views cover all four marker orientations
+        phi = 2.0 * np.pi * (t * 0.37 + 0.15)
+        out[str(t)] = SE3(R=rodrigues(d * phi) @ R0,
+                          t=np.asarray(target, float))
+    return out
+
+
 def render_cube_scene(
     root,
     cam_positions,
@@ -216,6 +281,7 @@ def render_cube_scene(
     wander: bool = False,
     aruco: str = "DICT_4X4_1000",
     target=(0.0, 0.0, 1.0),
+    traj: dict | None = None,
 ):
     """Render a synthetic marker-cube capture to ``root`` (image pipeline).
 
@@ -239,17 +305,18 @@ def render_cube_scene(
                        resolution_x=W, resolution_y=H)
         for i, p in enumerate(cam_positions)
     }
-    rng = np.random.default_rng(seed)
-    traj = {}
-    for t in range(n_frames):
-        v = rng.normal(size=3)
-        v = v / np.linalg.norm(v) * rng.uniform(0.0, np.pi)
-        if wander:
-            pos = np.array([rng.uniform(-0.5, 0.5), rng.uniform(-0.5, 0.5),
-                            target[2] + rng.uniform(-0.3, 0.3)])
-        else:
-            pos = np.asarray(target, float)
-        traj[str(t)] = SE3(R=rodrigues(v), t=pos)
+    if traj is None:
+        rng = np.random.default_rng(seed)
+        traj = {}
+        for t in range(n_frames):
+            v = rng.normal(size=3)
+            v = v / np.linalg.norm(v) * rng.uniform(0.0, np.pi)
+            if wander:
+                pos = np.array([rng.uniform(-0.5, 0.5), rng.uniform(-0.5, 0.5),
+                                target[2] + rng.uniform(-0.3, 0.3)])
+            else:
+                pos = np.asarray(target, float)
+            traj[str(t)] = SE3(R=rodrigues(v), t=pos)
     if not os.path.isdir(root):
         render_dataset(root, cams, traj, make_cube_markers(aruco),
                        marker_size=marker_size)
