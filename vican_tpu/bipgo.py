@@ -657,8 +657,11 @@ def bipartite_se3sync(
                 )
             else:
                 raise ValueError(f"unknown lsqr_solver: {lsqr_solver!r}")
-        ev["sync"] = (result, out_packed if out_packed is not None
-                      else (poses44 if poses44 is not None else t_est))
+        # when out_packed was fetched above, the np.asarray D2H already
+        # synchronized the whole fused program — a block here would only
+        # add another ~25 ms axon RPC (see utils/timing._block)
+        if out_packed is None:
+            ev["sync"] = (result, poses44 if poses44 is not None else t_est)
     if verbose:
         _log_sync_result(tm, result)
     res = float(res)

@@ -65,8 +65,21 @@ class PhaseTimer:
 
 
 def _block(tree):
+    """Synchronize on a pytree of device arrays — by blocking on ONE leaf.
+
+    On the axon tunnel EVERY ``block_until_ready`` call is a ~25 ms RPC,
+    even when the computation already finished (measured: 7 result leaves
+    = 175 ms of pure round trips per solve; the r3 history outputs alone
+    regressed the headline bench ~10%).  TPU executes dispatches of a
+    device in order and a program's outputs complete together, so blocking
+    on the LAST leaf of the last-dispatched program covers the whole tree;
+    phases here always sync pytrees from a single fused program.
+    """
     import jax
 
-    jax.tree_util.tree_map(
-        lambda x: x.block_until_ready() if hasattr(x, "block_until_ready") else x, tree
-    )
+    leaves = [
+        x for x in jax.tree_util.tree_leaves(tree)
+        if hasattr(x, "block_until_ready")
+    ]
+    if leaves:
+        leaves[-1].block_until_ready()
