@@ -163,7 +163,7 @@ def main():
 
     # Detection-set overlap vs the default mode (VERDICT r2 item 1: the
     # speedup claim needs a per-mode detection diff next to the rates).
-    base = next((m for m in ("device", "host", "pure", "reference") if m in keys_of), None)
+    base = next((m for m in ("roi", "device", "host", "pure", "reference") if m in keys_of), None)
     for mode, keys in keys_of.items():
         if base is None or mode == base:
             continue

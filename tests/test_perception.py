@@ -206,6 +206,60 @@ class TestEndToEnd:
         for k in common:
             assert np.allclose(dev[k]["corners"], host[k]["corners"], atol=0.3)
 
+    def test_roi_mode_bit_identical_to_device(self, rendered):
+        """The ROI-crop transport (default mode) is bit-identical to the
+        full-frame device mode — same keys, same corners, same poses
+        (ops/roi.py exactness contract), with both samplers."""
+        from vican_tpu.ops.detect import DetectorParams
+
+        root, markers = rendered
+        ds = Dataset(root)
+        files = ds.im_data["filename"][:6]
+        cams_l = ds.im_data["cam"][:6]
+        kwargs = dict(
+            aruco="DICT_4X4_1000", marker_size=MARKER_SIZE,
+            corner_refine="CORNER_REFINE_APRILTAG", marker_ids=None,
+            flags="SOLVEPNP_IPPE_SQUARE", brightness=0, contrast=0,
+            batch_size=3, verbose=False,
+        )
+        dev = estimate_pose_mp(files, cams_l, pipeline_mode="device", **kwargs)
+        for dp in (None, DetectorParams(roi_matmul_sampling=True)):
+            roi = estimate_pose_mp(files, cams_l, pipeline_mode="roi",
+                                   detector_params=dp, **kwargs)
+            assert set(roi) == set(dev)
+            for k in dev:
+                np.testing.assert_array_equal(roi[k]["corners"], dev[k]["corners"])
+                np.testing.assert_array_equal(
+                    np.asarray(roi[k]["pose"].pose()), np.asarray(dev[k]["pose"].pose())
+                )
+
+    def test_roi_fallback_on_oversized_site(self, tmp_path):
+        """A site bigger than the top tier falls back to the full-frame
+        program for the batch — detections still identical to host mode."""
+        from vican_tpu.ops.detect import DetectorParams
+        from vican_tpu.synthetic import render_cube_scene
+
+        root = str(tmp_path / "close")
+        render_cube_scene(root, [(0.9, 0.1, 1.0)], 3, seed=9, res=(640, 360),
+                          marker_size=0.2)
+        ds = Dataset(root)
+        files = ds.im_data["filename"]
+        cams_l = ds.im_data["cam"]
+        # tiny top tier forces the fallback on every batch
+        dp = DetectorParams(roi_tiers=(64,))
+        kwargs = dict(
+            aruco="DICT_4X4_1000", marker_size=0.2,
+            corner_refine="CORNER_REFINE_APRILTAG", marker_ids=None,
+            flags="SOLVEPNP_IPPE_SQUARE", brightness=0, contrast=0,
+            batch_size=3, verbose=False, detector_params=dp,
+        )
+        host = estimate_pose_mp(files, cams_l, pipeline_mode="host", **kwargs)
+        roi = estimate_pose_mp(files, cams_l, pipeline_mode="roi", **kwargs)
+        assert len(host) > 0
+        assert set(roi) == set(host)
+        for k in host:
+            np.testing.assert_array_equal(roi[k]["corners"], host[k]["corners"])
+
     def test_pure_device_mode_without_native(self, rendered, monkeypatch):
         """VICAN_TPU_NO_NATIVE=1 end-to-end: the documented pure-device
         fallback exists and detects markers (VERDICT missing #4)."""
@@ -298,7 +352,7 @@ class TestEndToEnd:
         packed, _ = full_run(jnp.asarray(gray))
         masks_full = np.unpackbits(np.asarray(packed), axis=-1,
                                    bitorder="little")[..., :W]
-        sel, payload, counts, _ = comp_run(jnp.asarray(gray))
+        sel, payload, counts, _ = comp_run(jnp.asarray(gray), np.int32(H), np.int32(W))
         assert (np.asarray(counts) <= sel.shape[-1]).all()
         masks_tiles = _masks_from_tiles(np.asarray(sel), np.asarray(payload), H, W)
         np.testing.assert_array_equal(masks_tiles, masks_full)
@@ -509,6 +563,6 @@ def test_tile_capacity_never_exceeds_grid(monkeypatch):
         run = _build_threshold_compact(2, H, W, params, use_pallas=False)
         gray = np.full((2, H, W), 200, np.uint8)
         gray[:, 10:30, 10:30] = 20
-        sel, payload, counts, _ = run(jnp.asarray(gray))
+        sel, payload, counts, _ = run(jnp.asarray(gray), np.int32(H), np.int32(W))
         masks = _masks_from_tiles(np.asarray(sel), np.asarray(payload), H, W)
         assert masks.shape[-2:] == (H, W)

@@ -1,0 +1,199 @@
+"""ROI-crop transport: clustering invariants, exact samplers, mode equality.
+
+The "roi" perception mode (VERDICT r3 item 1) never ships the frame; its
+correctness rests on two contracts tested here:
+
+1. ops/roi.py clustering — every candidate's margin-expanded bbox lies
+   inside its assigned crop window, with the window edge pinned to the
+   image edge wherever the bbox crosses it (so local bilinear clamping
+   reproduces global clamping bit-for-bit).
+2. ops/detect.py samplers — CropView (gather) and MatmulCropView /
+   MatmulImage (one-hot matmul) are bit-identical to sampling the full
+   frame directly.
+
+Reference: vican/cam.py:147 runs detectMarkers on full frames; the ROI
+transport must be behaviorally invisible.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vican_tpu.ops.detect import (
+    CropView,
+    DetectorParams,
+    MatmulCropView,
+    MatmulImage,
+    _bilinear,
+    adaptive_threshold,
+)
+from vican_tpu.ops.roi import _SLACK, build_roi_batch, cluster_rois
+
+
+def _rand_quads(rng, n, H, W, span_lo=10, span_hi=60):
+    quads = np.zeros((n, 4, 2), np.float32)
+    for i in range(n):
+        cx = rng.uniform(0, W)
+        cy = rng.uniform(0, H)
+        s = rng.uniform(span_lo, span_hi) / 2
+        quads[i] = [[cx - s, cy - s], [cx + s, cy - s], [cx + s, cy + s], [cx - s, cy + s]]
+    return quads
+
+
+class TestClusterRois:
+    def test_containment_invariants(self):
+        rng = np.random.default_rng(0)
+        H, W = 360, 640
+        tiers = (64, 128, 192)
+        margin = 8.0
+        for trial in range(20):
+            quads = _rand_quads(rng, 30, H, W)
+            valid = rng.random(30) < 0.8
+            rois, assign = cluster_rois(quads, valid, H, W, tiers, margin)
+            assert rois is not None
+            assert set(assign) == set(np.nonzero(valid)[0])
+            for q, r in assign.items():
+                ti, ox, oy = rois[r]
+                T = tiers[ti]
+                assert 0 <= ox <= W - T and 0 <= oy <= H - T
+                bx0 = quads[q, :, 0].min() - margin
+                bx1 = quads[q, :, 0].max() + margin
+                by0 = quads[q, :, 1].min() - margin
+                by1 = quads[q, :, 1].max() + margin
+                # exactness predicate: window contains the bbox, pinned to
+                # the image edge where the bbox crosses it
+                assert (ox == 0) if bx0 < 0 else (ox <= bx0)
+                assert (oy == 0) if by0 < 0 else (oy <= by0)
+                assert (ox + T == W) if bx1 > W - _SLACK else (bx1 <= ox + T - _SLACK)
+                assert (oy + T == H) if by1 > H - _SLACK else (by1 <= oy + T - _SLACK)
+
+    def test_duplicate_sites_share_windows(self):
+        """7 near-identical window-sweep variants of one site: one crop."""
+        rng = np.random.default_rng(1)
+        base = _rand_quads(rng, 1, 200, 300, span_lo=30, span_hi=30)[0]
+        quads = np.stack([base + rng.normal(0, 0.5, (4, 2)) for _ in range(7)])
+        rois, assign = cluster_rois(
+            quads.astype(np.float32), np.ones(7, bool), 360, 640, (64, 128), 8.0
+        )
+        assert len(rois) == 1 and len(assign) == 7
+
+    def test_oversized_site_returns_none(self):
+        quads = np.array([[[10, 10], [500, 10], [500, 500], [10, 500]]], np.float32)
+        rois, assign = cluster_rois(quads, np.ones(1, bool), 720, 1280, (64, 128), 8.0)
+        assert rois is None and assign is None
+
+    def test_tier_too_big_for_image(self):
+        """An image smaller than every tier cannot host any window."""
+        quads = np.array([[[5, 5], [25, 5], [25, 25], [5, 25]]], np.float32)
+        rois, assign = cluster_rois(quads, np.ones(1, bool), 40, 40, (64, 128), 8.0)
+        assert rois is None
+
+    def test_build_roi_batch_crops_match_image(self):
+        rng = np.random.default_rng(2)
+        H, W = 180, 320
+        gray = rng.integers(0, 256, (2, H, W)).astype(np.uint8)
+        quads = np.stack([_rand_quads(rng, 5, H, W) for _ in range(2)])
+        valid = np.ones((2, 5), bool)
+        areas = rng.uniform(100, 400, (2, 5)).astype(np.float32)
+        params = DetectorParams(roi_tiers=(64, 128), roi_margin=8)
+        rb = build_roi_batch(gray, quads, valid, areas, H, W, params)
+        assert rb is not None
+        for (T, Rcap, Ncap), crops, meta in zip(rb.caps, rb.crops, rb.meta):
+            n = int((meta[8] > 0.5).sum())
+            for i in range(n):
+                b = int(meta[10, i]) // valid.shape[1]
+                ci = int(meta[11, i])
+                ox, oy = int(meta[12, i]), int(meta[13, i])
+                np.testing.assert_array_equal(
+                    crops[ci].reshape(T, T), gray[b, oy:oy + T, ox:ox + T]
+                )
+                # meta carries the candidate's global quad
+                q = int(meta[10, i]) % valid.shape[1]
+                np.testing.assert_allclose(
+                    meta[0:8, i].reshape(4, 2), quads[b, q], atol=0
+                )
+
+
+class TestExactSamplers:
+    def _check(self, view_of, T=64):
+        rng = np.random.default_rng(3)
+        H, W = 90, 130
+        img = rng.integers(0, 256, (H, W)).astype(np.float32)
+        ox, oy = 30, 20
+        crop = img[oy:oy + T, ox:ox + T]
+        # sample points inside the window interior (the clustering contract)
+        x = rng.uniform(ox + 1, ox + T - 3, 300).astype(np.float32)
+        y = rng.uniform(oy + 1, oy + T - 3, 300).astype(np.float32)
+        # BOTH sides jitted (as production runs them): XLA may contract
+        # multiply-adds to FMA inside jit, so eager-vs-jit differs by ulps
+        # while jit-vs-jit is the bit-equality the pipeline relies on.
+        # The view is constructed INSIDE the jit so width/height stay
+        # static Python ints (passing a view as a jit argument would turn
+        # them into strong-typed arrays and promote the coordinate math to
+        # f64 under the suite's x64 mode).
+        want = np.asarray(
+            jax.jit(lambda im, x, y: _bilinear(im, x, y))(jnp.asarray(img), x, y)
+        )
+        fn = jax.jit(
+            lambda c, o_x, o_y, x, y: _bilinear(view_of(c, o_x, o_y, W, H), x, y)
+        )
+        got = np.asarray(fn(jnp.asarray(crop), jnp.float32(ox), jnp.float32(oy), x, y))
+        np.testing.assert_array_equal(got, want)
+
+    def test_cropview_bit_exact(self):
+        self._check(CropView)
+
+    def test_matmul_cropview_bit_exact(self):
+        self._check(MatmulCropView)
+
+    def test_matmul_image_bit_exact(self):
+        rng = np.random.default_rng(4)
+        img = rng.integers(0, 256, (64, 80)).astype(np.float32)
+        x = rng.uniform(-3, 83, 400).astype(np.float32)
+        y = rng.uniform(-3, 67, 400).astype(np.float32)
+        a = np.asarray(_bilinear(jnp.asarray(img), x, y))
+        b = np.asarray(_bilinear(MatmulImage(jnp.asarray(img)), x, y))
+        np.testing.assert_array_equal(a, b)
+
+    def test_edge_pinned_window_clamps_like_full_frame(self):
+        """Samples beyond the image edge: a window pinned to that edge
+        clamps exactly like the full frame does."""
+        rng = np.random.default_rng(5)
+        H, W = 70, 110
+        T = 64
+        img = rng.integers(0, 256, (H, W)).astype(np.float32)
+        # window pinned to the left/top corner
+        view = CropView(jnp.asarray(img[:T, :T]), jnp.float32(0), jnp.float32(0), W, H)
+        x = rng.uniform(-5, T - 3, 200).astype(np.float32)  # crosses x < 0
+        y = rng.uniform(-5, T - 3, 200).astype(np.float32)
+        want = np.asarray(_bilinear(jnp.asarray(img), x, y))
+        got = np.asarray(_bilinear(view, x, y))
+        np.testing.assert_array_equal(got, want)
+
+
+class TestFastThresh:
+    def test_matches_device_threshold(self):
+        from vican_tpu._native import get_fastthresh
+
+        th = get_fastthresh()
+        if th is None:
+            pytest.skip("no C toolchain")
+        rng = np.random.default_rng(6)
+        for H, W in [(64, 96), (57, 101), (128, 128)]:
+            g = rng.integers(0, 256, (H, W)).astype(np.uint8)
+            wins = (3, 9, 13, 19, 23, 29, 33)
+            Wb = -(-W // 8)
+            packed = np.frombuffer(
+                th.threshold_pack(g, H, W, wins, 10.0), np.uint8
+            ).reshape(len(wins), H, Wb)
+            got = np.unpackbits(packed, axis=-1, bitorder="little")[:, :, :W]
+            for wi, w in enumerate(wins):
+                want = np.asarray(
+                    adaptive_threshold(jnp.asarray(g, jnp.float32), w, 10.0)
+                )
+                np.testing.assert_array_equal(got[wi].astype(bool), want)
+            # padding bits beyond W are zero (the packed CCL reads them)
+            if W % 8:
+                tail = np.unpackbits(packed, axis=-1, bitorder="little")[:, :, W:]
+                assert not tail.any()

@@ -24,8 +24,11 @@ _cache: dict = {}
 def _build(name: str) -> str | None:
     """Compile ``<name>.c`` into a content-hash-cached .so; return its path."""
     src = os.path.join(_HERE, f"{name}.c")
+    # -march=native: the .so is built on the host that runs it (SIMD for the
+    # integral-image sweep); flags are part of the cache tag
+    flags = ["-O3", "-march=native"]
     with open(src, "rb") as f:
-        tag = hashlib.sha256(f.read()).hexdigest()[:12]
+        tag = hashlib.sha256(f.read() + " ".join(flags).encode()).hexdigest()[:12]
     tag += f"_py{sys.version_info.major}{sys.version_info.minor}"
     cache_dir = os.path.join(_HERE, "_build")
     os.makedirs(cache_dir, exist_ok=True)
@@ -34,7 +37,7 @@ def _build(name: str) -> str | None:
         return so_path
     include = sysconfig.get_paths()["include"]
     cc = os.environ.get("CC", "gcc")
-    cmd = [cc, "-O2", "-shared", "-fPIC", f"-I{include}", src, "-o", so_path + ".tmp"]
+    cmd = [cc, *flags, "-shared", "-fPIC", f"-I{include}", src, "-o", so_path + ".tmp"]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
     except Exception:
@@ -70,6 +73,11 @@ def get_fastpack():
 def get_fastccl():
     """The compiled CCL/quad module, or None if unavailable."""
     return _get_module("fastccl")
+
+
+def get_fastthresh():
+    """The compiled adaptive-threshold sweep module, or None if unavailable."""
+    return _get_module("fastthresh")
 
 
 # Backwards-compat for tests monkeypatching the old single-module cache.

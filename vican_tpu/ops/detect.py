@@ -50,10 +50,15 @@ __all__ = [
     "refine_corners",
     "refine_corners_subpix",
     "refine_quad",
+    "decode_one",
     "decode_quads",
+    "MatmulImage",
+    "CropView",
+    "MatmulCropView",
     "detect_markers",
     "resolve_error_correction",
     "resolve_pallas",
+    "resolve_roi_matmul",
 ]
 
 BIG = jnp.int32(2**30)
@@ -90,6 +95,18 @@ def resolve_pallas(params: "DetectorParams") -> bool:
     return bool(params.use_pallas_threshold)
 
 
+def resolve_roi_matmul(params: "DetectorParams") -> bool:
+    """Whether ROI-crop sampling routes through :class:`MatmulImage`.
+
+    Auto (None): on for TPU backends (gathers serialize there), off
+    elsewhere (CPU/GPU gathers are fine and cheaper than one-hots).  The
+    two samplers are bit-identical, so this is purely a speed knob.
+    """
+    if params.roi_matmul_sampling is None:
+        return jax.default_backend() == "tpu"
+    return bool(params.roi_matmul_sampling)
+
+
 class DetectorParams(NamedTuple):
     """Static detector configuration (mirrors cv.aruco.DetectorParameters).
 
@@ -120,6 +137,13 @@ class DetectorParams(NamedTuple):
     # 16x16 mask tiles, as a fraction of the tile grid.  Marker scenes run
     # ~12% occupancy; overflowing frames fall back to full masks (exact).
     mask_tile_rate: float = 0.25
+    # ROI-crop transport (perception "roi" mode): crop window size tiers,
+    # margin beyond each candidate bbox (must cover the refine/decode
+    # sampling excursion — see ops/roi.py), and whether sampling uses the
+    # one-hot matmul path (None = auto: TPU yes; both paths are bit-exact).
+    roi_tiers: tuple = (64, 128, 192, 256, 320, 384)
+    roi_margin: int = 8
+    roi_matmul_sampling: bool | None = None
     subpix_win: int = 5  # cornerSubPix half-window (cv2 winSize=(5,5))
     subpix_iters: int = 50  # cornerRefinementMaxIterations (cam.py:133)
     subpix_acc: float = 0.05  # cornerRefinementMinAccuracy (cam.py:131)
@@ -376,20 +400,111 @@ def extract_quads(labels, params: DetectorParams) -> QuadCandidates:
     return QuadCandidates(corners=corners, valid=valid, area=area)
 
 
+class CropView(NamedTuple):
+    """A crop window ``[oy:oy+T, ox:ox+T]`` of a full ``(height, width)``
+    image, sampled with GLOBAL coordinates.
+
+    :func:`_bilinear` clamps against the FULL image dims and only the
+    integer lattice lookup shifts into the crop — so every float operation
+    (clip, floor, fractional weights, and all downstream refine/decode
+    arithmetic on the coordinates) is bit-identical to sampling the full
+    frame, as long as the looked-up lattice points lie inside the window
+    (the ops/roi.py containment contract).
+    """
+
+    data: jnp.ndarray  # (T, T) float32 crop
+    ox: jnp.ndarray  # () window origin, x
+    oy: jnp.ndarray  # () window origin, y
+    width: int  # full image W (static)
+    height: int  # full image H (static)
+
+
+class MatmulCropView(NamedTuple):
+    """:class:`CropView` whose lattice lookups ride one-hot matmuls.
+
+    TPU gathers serialize — the gather-heavy full-frame refine+decode
+    program measured ~300 ms/batch (NOTES_ROUND3 §4).  For a VMEM-sized
+    crop, the four lattice values of a bilinear sample can instead be
+    *selected* with 0/1 one-hot matrices: a (2P, T) row-selection matmul
+    pulls the two needed rows per sample onto the MXU, and an elementwise
+    one-hot dot picks the columns.  Selection by 0/1 weights is exact (one
+    nonzero term per sum; uint8-range values are exact in every matmul
+    precision), so this is bit-identical to :class:`CropView` — purely a
+    TPU speed form.
+    """
+
+    data: jnp.ndarray
+    ox: jnp.ndarray
+    oy: jnp.ndarray
+    width: int
+    height: int
+
+
+class MatmulImage(NamedTuple):
+    """A full image sampled via the one-hot matmul path (no crop offset);
+    see :class:`MatmulCropView` for the mechanism and exactness argument."""
+
+    data: jnp.ndarray  # (H, W) float32
+
+
+def _matmul_values(img, xl0, yl0):
+    """One-hot-matmul extraction of the 4 bilinear lattice values of
+    ``img`` at integer local coords (xl0, yl0)."""
+    H, W = img.shape
+    shp = xl0.shape
+    xl0 = xl0.reshape(-1)
+    yl0 = yl0.reshape(-1)
+    rows = jax.nn.one_hot(
+        jnp.concatenate([yl0, yl0 + 1]), H, dtype=img.dtype
+    )  # (2P, H)
+    A = rows @ img  # (2P, W): rows y0 then rows y0+1, per sample
+    cx0 = jax.nn.one_hot(xl0, W, dtype=img.dtype)
+    cx1 = jax.nn.one_hot(xl0 + 1, W, dtype=img.dtype)
+    P = xl0.shape[0]
+    v00 = jnp.sum(A[:P] * cx0, -1)
+    v01 = jnp.sum(A[:P] * cx1, -1)
+    v10 = jnp.sum(A[P:] * cx0, -1)
+    v11 = jnp.sum(A[P:] * cx1, -1)
+    return tuple(v.reshape(shp) for v in (v00, v01, v10, v11))
+
+
+def _bilinear_values(gray, x0, y0):
+    """The four lattice values (v00, v01, v10, v11) at integer (x0, y0)."""
+    if isinstance(gray, (CropView, MatmulCropView)):
+        xl0 = x0 - jnp.asarray(gray.ox).astype(jnp.int32)
+        yl0 = y0 - jnp.asarray(gray.oy).astype(jnp.int32)
+        if isinstance(gray, MatmulCropView):
+            return _matmul_values(gray.data, xl0, yl0)
+        g = lambda yy, xx: gray.data[yy, xx]
+        return g(yl0, xl0), g(yl0, xl0 + 1), g(yl0 + 1, xl0), g(yl0 + 1, xl0 + 1)
+    if isinstance(gray, MatmulImage):
+        return _matmul_values(gray.data, x0, y0)
+    g = lambda yy, xx: gray[yy, xx]
+    return g(y0, x0), g(y0, x0 + 1), g(y0 + 1, x0), g(y0 + 1, x0 + 1)
+
+
+def _image_hw(gray):
+    if isinstance(gray, (CropView, MatmulCropView)):
+        return gray.height, gray.width
+    if isinstance(gray, MatmulImage):
+        return gray.data.shape
+    return gray.shape
+
+
 def _bilinear(gray, x, y):
-    """Bilinear sample of a (H, W) image at float coords (clamped)."""
-    H, W = gray.shape
+    """Bilinear sample of a (H, W) image at float coords (clamped).
+
+    ``gray`` may be a plain array (gather path) or a :class:`MatmulImage`
+    (one-hot matmul path) — the two are bit-identical by construction.
+    """
+    H, W = _image_hw(gray)
     x = jnp.clip(x, 0.0, W - 1.001)
     y = jnp.clip(y, 0.0, H - 1.001)
     x0 = jnp.floor(x).astype(jnp.int32)
     y0 = jnp.floor(y).astype(jnp.int32)
     fx = x - x0
     fy = y - y0
-    g = lambda yy, xx: gray[yy, xx]
-    v00 = g(y0, x0)
-    v01 = g(y0, x0 + 1)
-    v10 = g(y0 + 1, x0)
-    v11 = g(y0 + 1, x0 + 1)
+    v00, v01, v10, v11 = _bilinear_values(gray, x0, y0)
     return (
         v00 * (1 - fx) * (1 - fy)
         + v01 * fx * (1 - fy)
@@ -561,12 +676,11 @@ def _quad_homography(quad, n_cells: int):
     return homography_4pt(src, quad)
 
 
-def decode_quads(gray, quads, valid, table, n_bits: int, params: DetectorParams):
-    """Sample the bit grid of each quad and match against the dictionary.
+def decode_one(gray, quad, is_valid, table, n_bits: int, params: DetectorParams):
+    """Decode a single quad against the dictionary (see :func:`decode_quads`).
 
-    ``table``: (dict_size, 4, n_bits*n_bits) uint8 rotation table.
-    Returns (ids, rotations, corners_canonical, ok): corners are rolled so
-    index 0 is the canonical top-left (OpenCV convention).
+    Exposed separately so the ROI pipeline can vmap it with a DIFFERENT
+    image per candidate (each candidate samples its own crop).
     """
     cells = n_bits + 2
     S = params.decode_samples
@@ -577,71 +691,80 @@ def decode_quads(gray, quads, valid, table, n_bits: int, params: DetectorParams)
     border_mask = border_mask.at[-1, :].set(True).at[:, 0].set(True).at[:, -1].set(True)
     max_border_errs = jnp.floor(params.max_border_err_rate * (4 * cells - 4))
 
-    def one(quad, is_valid):
-        Hm = _quad_homography(quad, cells)
+    Hm = _quad_homography(quad, cells)
 
-        def attempt(frac):
-            """Decode with bit samples spanning the central ``frac`` of each
-            cell.  Full-cell sampling (frac = 1) averages the most pixels —
-            best under noise; a tight central window resists cross-cell
-            bleed when cells are only a couple of pixels wide."""
-            lin = ((jnp.arange(S) + 0.5) / S) * frac + (1.0 - frac) * 0.5
+    def attempt(frac):
+        """Decode with bit samples spanning the central ``frac`` of each
+        cell.  Full-cell sampling (frac = 1) averages the most pixels —
+        best under noise; a tight central window resists cross-cell
+        bleed when cells are only a couple of pixels wide."""
+        lin = ((jnp.arange(S) + 0.5) / S) * frac + (1.0 - frac) * 0.5
 
-            def cell_samples(r, c):
-                u = c + lin[None, :]
-                v = r + lin[:, None]
-                ones = jnp.ones_like(u * v)
-                uv1 = jnp.stack([u * ones, v * ones, ones], axis=-1)  # (S,S,3)
-                p = jnp.einsum("ij,stj->sti", Hm, uv1)
-                x = p[..., 0] / p[..., 2]
-                y = p[..., 1] / p[..., 2]
-                return _bilinear(gray, x, y)  # (S,S)
+        def cell_samples(r, c):
+            u = c + lin[None, :]
+            v = r + lin[:, None]
+            ones = jnp.ones_like(u * v)
+            uv1 = jnp.stack([u * ones, v * ones, ones], axis=-1)  # (S,S,3)
+            p = jnp.einsum("ij,stj->sti", Hm, uv1)
+            x = p[..., 0] / p[..., 2]
+            y = p[..., 1] / p[..., 2]
+            return _bilinear(gray, x, y)  # (S,S)
 
-            rr, cc = jnp.mgrid[0:cells, 0:cells]
-            samples = jax.vmap(jax.vmap(cell_samples))(
-                rr.astype(jnp.float32), cc.astype(jnp.float32)
-            )  # (cells, cells, S, S)
-            means = samples.mean(axis=(2, 3))
+        rr, cc = jnp.mgrid[0:cells, 0:cells]
+        samples = jax.vmap(jax.vmap(cell_samples))(
+            rr.astype(jnp.float32), cc.astype(jnp.float32)
+        )  # (cells, cells, S, S)
+        means = samples.mean(axis=(2, 3))
 
-            # Otsu threshold over all sampled intensities + per-cell
-            # majority — OpenCV's extraction scheme; far more robust on
-            # oblique/blurred quads than a midrange threshold of cell means
-            # (recall parity with cv2 came from exactly this change).
-            tau = _otsu(samples.reshape(-1))
-            bits = (jnp.mean(samples > tau, axis=(2, 3)) > 0.5).astype(jnp.uint8)
+        # Otsu threshold over all sampled intensities + per-cell
+        # majority — OpenCV's extraction scheme; far more robust on
+        # oblique/blurred quads than a midrange threshold of cell means
+        # (recall parity with cv2 came from exactly this change).
+        tau = _otsu(samples.reshape(-1))
+        bits = (jnp.mean(samples > tau, axis=(2, 3)) > 0.5).astype(jnp.uint8)
 
-            border_errs = jnp.sum(jnp.where(border_mask, bits, 0))
-            border_ok = border_errs <= max_border_errs
-            # contrast gate: a real marker has distinctly dark border cells
-            contrast_ok = (means.max() - means.min()) > params.min_cell_contrast
+        border_errs = jnp.sum(jnp.where(border_mask, bits, 0))
+        border_ok = border_errs <= max_border_errs
+        # contrast gate: a real marker has distinctly dark border cells
+        contrast_ok = (means.max() - means.min()) > params.min_cell_contrast
 
-            inner = bits[1:-1, 1:-1].reshape(-1)  # (n_bits^2,) row-major
-            dists = jnp.sum(inner[None, None, :] != table, axis=-1)  # (size, 4)
-            best_flat = jnp.argmin(dists.reshape(-1))
-            best_id = (best_flat // 4).astype(jnp.int32)
-            best_rot = (best_flat % 4).astype(jnp.int32)
-            best_dist = dists.reshape(-1)[best_flat]
-            ok = is_valid & border_ok & contrast_ok & (best_dist <= ec_bits)
-            return best_id, best_rot, ok
+        inner = bits[1:-1, 1:-1].reshape(-1)  # (n_bits^2,) row-major
+        dists = jnp.sum(inner[None, None, :] != table, axis=-1)  # (size, 4)
+        best_flat = jnp.argmin(dists.reshape(-1))
+        best_id = (best_flat // 4).astype(jnp.int32)
+        best_rot = (best_flat % 4).astype(jnp.int32)
+        best_dist = dists.reshape(-1)[best_flat]
+        ok = is_valid & border_ok & contrast_ok & (best_dist <= ec_bits)
+        return best_id, best_rot, ok
 
-        # Primary pass: full-cell sampling.  Second chance for quads it
-        # rejects: a central-half window — at 12-16 px markers (2-3 px
-        # cells) full-cell samples straddle cell boundaries and flip 1-2
-        # bits, which strict matching (correctly) refuses to correct.  The
-        # matching itself stays strict in BOTH passes, so the zero-false-id
-        # property is preserved; measured +3 true detections on the oblique
-        # cube scenes with no change elsewhere.
-        id1, rot1, ok1 = attempt(1.0)
-        id2, rot2, ok2 = attempt(0.5)
-        best_id = jnp.where(ok1, id1, id2)
-        best_rot = jnp.where(ok1, rot1, rot2)
-        ok = ok1 | ok2
-        # roll corners so index 0 = canonical top-left
-        idx = (jnp.arange(4) + best_rot) % 4
-        corners = quad[idx]
-        return best_id, best_rot, corners, ok
+    # Primary pass: full-cell sampling.  Second chance for quads it
+    # rejects: a central-half window — at 12-16 px markers (2-3 px
+    # cells) full-cell samples straddle cell boundaries and flip 1-2
+    # bits, which strict matching (correctly) refuses to correct.  The
+    # matching itself stays strict in BOTH passes, so the zero-false-id
+    # property is preserved; measured +3 true detections on the oblique
+    # cube scenes with no change elsewhere.
+    id1, rot1, ok1 = attempt(1.0)
+    id2, rot2, ok2 = attempt(0.5)
+    best_id = jnp.where(ok1, id1, id2)
+    best_rot = jnp.where(ok1, rot1, rot2)
+    ok = ok1 | ok2
+    # roll corners so index 0 = canonical top-left
+    idx = (jnp.arange(4) + best_rot) % 4
+    corners = quad[idx]
+    return best_id, best_rot, corners, ok
 
-    return jax.vmap(one)(quads, valid)
+
+def decode_quads(gray, quads, valid, table, n_bits: int, params: DetectorParams):
+    """Sample the bit grid of each quad and match against the dictionary.
+
+    ``table``: (dict_size, 4, n_bits*n_bits) uint8 rotation table.
+    Returns (ids, rotations, corners_canonical, ok): corners are rolled so
+    index 0 is the canonical top-left (OpenCV convention).
+    """
+    return jax.vmap(
+        lambda q, v: decode_one(gray, q, v, table, n_bits, params)
+    )(quads, valid)
 
 
 class Detections(NamedTuple):

@@ -2,21 +2,26 @@
 
 The reference fans one OpenCV pipeline per image over a multiprocessing pool
 (vican/cam.py:190-265).  Here the work splits by what each processor is good
-at, in one of three pipeline modes (auto-selected; see
+at, in one of four pipeline modes (auto-selected; see
 :func:`estimate_pose_batched`):
 
-- ``"device"`` (default): the adaptive-threshold sweep (reference
-  cam.py:147 with params at cam.py:132-135) runs ON DEVICE — the fused
-  Pallas kernel on TPU, integral-image XLA elsewhere — and ships back only
-  the OCCUPIED 16x16 tiles of the bit-packed masks (~4-8x smaller than the
-  full masks; exact, with a full-mask fallback on overflow).  The C
-  union-find quad extractor (_native/fastccl.c) reads the packed bits
-  directly — labeling is irregular pointer-chasing where a CPU two-pass
-  beats any dense-tensor formulation; everything else (refine, decode,
-  dedup, PnP) is a second fused device program returning ONE packed result
-  buffer.
-- ``"host"``: the round-1 hybrid — threshold via host box filters.  Kept for
-  hosts where the device link is the bottleneck even for compacted tiles.
+- ``"roi"`` (default): the frame NEVER crosses the host link.  Threshold
+  sweep (C integral-image kernel, _native/fastthresh.c, bit-packed out)
+  and run-based union-find quad extraction (_native/fastccl.c) run on
+  host; the valid candidates of each image are clustered into shared
+  fixed-size crop windows (:mod:`vican_tpu.ops.roi`) and ONLY those crops
+  upload.  Refine/decode sample the crops through exact one-hot matmuls
+  (MXU work instead of serialized gathers), and dedup/PnP return one
+  packed buffer.  Detections are bit-identical to the full-frame modes by
+  the ops/roi.py exactness contract (full-frame fallback when a site
+  exceeds the top tier).
+- ``"device"``: the adaptive-threshold sweep (reference cam.py:147 with
+  params at cam.py:132-135) runs ON DEVICE — the fused Pallas kernel on
+  TPU, integral-image XLA elsewhere — and ships back only the OCCUPIED
+  16x16 tiles of the bit-packed masks; refine/decode/dedup/PnP is a
+  second fused device program over the device-resident frame.  Best when
+  the host link is fast (PCIe) and host CPU is the scarce resource.
+- ``"host"``: host threshold + full-frame upload for the detect program.
 - ``"pure"``: no native kernel available (``VICAN_TPU_NO_NATIVE=1`` or no C
   toolchain) — the whole detection pipeline, including connected components,
   runs as one jitted device program (:func:`vican_tpu.ops.detect.
@@ -268,16 +273,40 @@ def _mask_packed_width(packed: np.ndarray, W: int) -> np.ndarray:
     return packed
 
 
+def _get_thresh():
+    from ._native import get_fastthresh
+
+    return get_fastthresh()
+
+
 def host_candidates(gray: np.ndarray, params) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Host-threshold path: box-filter sweep + C CCL for a (B, H, W) batch.
+    """Host-threshold path: adaptive-mean sweep + C CCL for a (B, H, W) batch.
 
-    The ``"host"`` pipeline mode — used when the device link is too slow for
-    the packed-mask round trip (the default mode thresholds on device).
+    Used by the ``"roi"`` mode (which never ships the frame) and the
+    ``"host"`` mode.  The production path is the C integral-image kernel
+    (_native/fastthresh.c): one integral image feeds every window size and
+    the masks come out bit-packed for the packed CCL reader — ~4x faster
+    than the cv2.boxFilter sweep and without materializing (B, Wn, H, W)
+    masks.  Its integer compare is exactly the device threshold's f32 test
+    (see fastthresh.c); cv2.boxFilter (fallback) may differ on exact ties.
     """
-    import cv2 as cv
-
     B, H, W = gray.shape
     Wn = len(params.win_sizes)
+    th = _get_thresh()
+    if th is not None and _get_ccl() is not None:
+        Wb = -(-W // 8)
+        packed = np.empty((B, Wn, H, Wb), np.uint8)
+        wins = tuple(int(w) for w in params.win_sizes)
+        for b in range(B):
+            buf = th.threshold_pack(
+                np.ascontiguousarray(gray[b]), H, W, wins,
+                float(params.thresh_const),
+            )
+            packed[b] = np.frombuffer(buf, np.uint8).reshape(Wn, H, Wb)
+        return quads_from_packed_masks(packed, H, W, params)
+
+    import cv2 as cv
+
     fg = np.zeros((B, Wn, H, W), np.uint8)
     for b in range(B):
         g = gray[b]
@@ -540,6 +569,101 @@ def _build_hybrid(B, Q, n_bits, params, lm_iters, marker_size, pnp_method):
     return run
 
 
+def _build_roi_detect(B, Q, HW, caps, n_bits, params, lm_iters, marker_size,
+                      pnp_method, use_mm):
+    """Device program: refine + decode + dedup + PnP from ROI CROPS.
+
+    ``caps``: tuple of ``(T, Rcap, Ncap)`` per occupied crop tier (see
+    :class:`vican_tpu.ops.roi.RoiBatch`).  Each candidate samples its own
+    (T, T) crop in GLOBAL image coordinates (``CropView``) — via the
+    one-hot matmul sampler on TPU (``use_mm``), so refine+decode rides the
+    MXU instead of serializing through gathers — then results scatter back
+    to the per-image candidate grid for the SAME dedup/PnP tail as the
+    full-frame program.  Bit-identical to the full-frame path by the
+    ops/roi.py exactness contract.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .ops import detect as D_
+
+    H, W = HW
+    pnp = _pnp_block(B, params, lm_iters, marker_size, pnp_method)
+
+    @jax.jit
+    def run(crops_l, meta_l, Ks, dists, table):
+        with jax.default_matmul_precision("highest"):
+            all_ids, all_corners, all_ok, all_area, all_slot = [], [], [], [], []
+            for (T, Rcap, Ncap), crops, meta in zip(caps, crops_l, meta_l):
+                crops_f = crops.reshape(Rcap, T, T).astype(jnp.float32)
+                gquad = meta[0:8].T.reshape(Ncap, 4, 2)
+                validc = meta[8] > 0.5
+                area = meta[9]
+                slot = meta[10].astype(jnp.int32)
+                crop_of = meta[11].astype(jnp.int32)
+                origin = meta[12:14].T  # (Ncap, 2) = (ox, oy)
+
+                def per_cand(gq, v, ci, o):
+                    view = D_.MatmulCropView if use_mm else D_.CropView
+                    im = view(crops_f[ci], o[0], o[1], W, H)
+                    refined = D_.refine_quad(im, gq, params)
+                    bid, _rot, corners, ok = D_.decode_one(
+                        im, refined, v, table, n_bits, params
+                    )
+                    return bid, corners, ok
+
+                # chunked vmap: a full-Ncap vmap would materialize the
+                # per-sample one-hot matrices for EVERY candidate at once
+                # (~5 MB/candidate at T=256 — GBs per batch); tier-scaled
+                # chunks bound the live set to a few hundred MB (Ncap is a
+                # multiple of 64 by construction, ops/roi._round_up)
+                CH = 64 if T <= 128 else (32 if T <= 256 else 16)
+                nch = Ncap // CH
+                chunk = lambda a: a.reshape((nch, CH) + a.shape[1:])
+                ids, corners, ok = jax.lax.map(
+                    lambda args: jax.vmap(per_cand)(*args),
+                    (chunk(gquad), chunk(validc), chunk(crop_of), chunk(origin)),
+                )
+                ids = ids.reshape(Ncap)
+                corners = corners.reshape(Ncap, 4, 2)
+                ok = ok.reshape(Ncap)
+                all_ids.append(ids)
+                all_corners.append(corners)
+                all_ok.append(ok & validc)
+                all_area.append(area)
+                all_slot.append(slot)
+
+            ids = jnp.concatenate(all_ids)
+            corners = jnp.concatenate(all_corners)
+            ok = jnp.concatenate(all_ok)
+            area = jnp.concatenate(all_area)
+            slot = jnp.concatenate(all_slot)
+
+            # scatter to the (B, Q) candidate grid (padding columns carry
+            # slot == B*Q, the trash row) so dedup sees the same slot order
+            # and index tiebreaks as the full-frame program.  Grid dtypes
+            # follow the values: under CPU-x64 tests the refined corners are
+            # float64 (like the full-frame program keeps them) and an f32
+            # grid here would break bit-equality with the device mode.
+            G = B * Q + 1
+            g_corners = jnp.zeros((G, 4, 2), corners.dtype).at[slot].set(corners)
+            g_ids = jnp.zeros((G,), ids.dtype).at[slot].set(ids)
+            g_ok = jnp.zeros((G,), bool).at[slot].set(ok)
+            g_area = jnp.zeros((G,), area.dtype).at[slot].set(area)
+
+            det = jax.vmap(
+                lambda c, i, o, a: D_.dedup_and_compact(c, i, o, a, params)
+            )(
+                g_corners[: B * Q].reshape(B, Q, 4, 2),
+                g_ids[: B * Q].reshape(B, Q),
+                g_ok[: B * Q].reshape(B, Q),
+                g_area[: B * Q].reshape(B, Q),
+            )
+            return pnp(det.corners, det.ids, det.valid, Ks, dists)
+
+    return run
+
+
 def _build_pure_device(B, n_bits, params, lm_iters, marker_size, pnp_method):
     """Device program: the FULL detection pipeline (threshold, CCL, quads,
     refine, decode, dedup) + PnP — no native kernels anywhere.
@@ -569,10 +693,10 @@ def _build_pure_device(B, n_bits, params, lm_iters, marker_size, pnp_method):
 def _resolve_mode(pipeline_mode: str) -> str:
     mode = os.environ.get("VICAN_TPU_PERCEPTION_MODE", pipeline_mode)
     if mode == "auto":
-        return "device" if _get_ccl() is not None else "pure"
-    if mode not in ("device", "host", "pure"):
+        return "roi" if _get_ccl() is not None else "pure"
+    if mode not in ("roi", "device", "host", "pure"):
         raise ValueError(f"unknown perception pipeline mode: {mode!r}")
-    if mode in ("device", "host") and _get_ccl() is None:
+    if mode in ("roi", "device", "host") and _get_ccl() is None:
         import warnings
 
         warnings.warn("fastccl unavailable; falling back to the pure-device path")
@@ -652,6 +776,11 @@ def estimate_pose_batched(
         return out_all
 
     refine_kind = resolve(CORNER_REFINE, corner_refine, "corner_refine")
+    if mode == "roi" and refine_kind == "subpix":
+        # cornerSubPix iterates with no bound on where it samples, so the
+        # ROI exactness contract (ops/roi.py) cannot hold; the device mode
+        # is exact for every refiner
+        mode = "device"
     pnp_method = resolve(PNP_FLAGS, flags, "flags")
     _, n_bits = get_dictionary(aruco)
     table = jnp.asarray(marker_bits_table(aruco))
@@ -698,7 +827,10 @@ def estimate_pose_batched(
             batch_cams = batch_cams + [batch_cams[-1]] * (B - nb)
         gray = host_preprocess(images, float(brightness), float(contrast))
         H, W = gray.shape[1:3]
-        if mode != "pure":  # shape bucketing (see _bucket_hw); exact
+        # shape bucketing (see _bucket_hw); exact.  The roi mode never
+        # ships the frame, so its program shapes don't depend on (H, W) —
+        # it pads only on its full-frame fallback.
+        if mode in ("device", "host"):
             Hb, Wb = _bucket_hw(H, W)
             if (Hb, Wb) != (H, W):
                 gray = np.pad(gray, ((0, 0), (0, Hb - H), (0, Wb - W)), mode="edge")
@@ -767,6 +899,54 @@ def estimate_pose_batched(
             packed = _mask_packed_width(packed, W)
             quads, valid, areas = quads_from_packed_masks(packed, H, W, params)
             return dispatch_detect(meta, gray_f32, quads, valid, areas, Ks, dists)
+
+    elif mode == "roi":
+        from .ops.roi import build_roi_batch
+
+        use_mm = D_.resolve_roi_matmul(params)
+        Q_all = Wn * params.max_candidates
+
+        def stage_threshold(prep):
+            """Feed side: host threshold + C CCL + ROI clustering + crop
+            upload + detection dispatch (async).  Only the crops cross the
+            host link (~25x less than the frame on marker scenes)."""
+            batch_files, batch_cams, nb, gray, Ks, dists, (H, W) = prep
+            quads, valid, areas = host_candidates(gray, params)
+            rb = build_roi_batch(gray, quads, valid, areas, H, W, params)
+            if rb is None:
+                # a site exceeds the top tier (very close-range marker):
+                # exact full-frame fallback via the hybrid program, with
+                # the usual bucket padding
+                Hb, Wb = _bucket_hw(H, W)
+                if (Hb, Wb) != (H, W):
+                    gray = np.pad(gray, ((0, 0), (0, Hb - H), (0, Wb - W)),
+                                  mode="edge")
+                (gray_dev,) = shard([gray])
+                return ("full", (batch_files, batch_cams, nb), gray_dev,
+                        quads, valid, areas, Ks, dists)
+            if not rb.caps:
+                # no candidates anywhere in the batch (blank frames):
+                # nothing to dispatch — synthesize an all-invalid result
+                empty = np.zeros((23, B * params.max_detections), np.float32)
+                return ("roi", (batch_files, batch_cams, nb, empty))
+            run = _get_pipeline(
+                ("roi", B, Q_all, (H, W), rb.caps, n_bits, params, lm_iters,
+                 float(marker_size), pnp_method, use_mm),
+                lambda: _build_roi_detect(B, Q_all, (H, W), rb.caps, n_bits,
+                                          params, lm_iters, float(marker_size),
+                                          pnp_method, use_mm),
+            )
+            crops_dev = tuple(jnp.asarray(c) for c in rb.crops)
+            meta_dev = tuple(jnp.asarray(m) for m in rb.meta)
+            out = run(crops_dev, meta_dev, jnp.asarray(Ks),
+                      jnp.asarray(dists), table)
+            return ("roi", (batch_files, batch_cams, nb, out))
+
+        def stage_ccl(handle):
+            if handle[0] == "roi":
+                return handle[1]
+            _, meta, gray_dev, quads, valid, areas, Ks, dists = handle
+            return dispatch_detect(meta, gray_dev, quads, valid, areas, Ks, dists)
 
     elif mode == "host":
 
