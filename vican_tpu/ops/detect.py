@@ -117,6 +117,11 @@ class DetectorParams(NamedTuple):
     win_sizes: tuple = (3, 9, 13, 19, 23, 29, 33)
     thresh_const: float = 10.0
     max_candidates: int = 16  # per window size
+    # extra per-window slots for 4-connected SPLIT candidates: at extreme
+    # oblique angles adjacent markers merge into one 8-connected component
+    # via diagonal aliasing strands; 4-connectivity breaks those strands
+    # and the strict dictionary decode gates the extras (0 disables)
+    max_candidates_4conn: int = 8
     max_detections: int = 24  # per image, after dedup
     ccl_passes: int = 10
     min_area: float = 64.0  # px^2, component area
@@ -205,18 +210,20 @@ def adaptive_threshold(gray, win: int, C: float):
     return gray <= _box_mean(gray, win) - C
 
 
-def _neighbor_min(labels, fg):
-    """Min of the 8-neighborhood labels (masked to foreground).
+def _neighbor_min(labels, fg, diagonal: bool = True):
+    """Min of the 8- (or 4-) neighborhood labels (masked to foreground).
 
     8-connectivity matters: thin oblique marker borders are only diagonally
-    connected (OpenCV's contour following is 8-connected too).
+    connected (OpenCV's contour following is 8-connected too).  The 4-conn
+    variant feeds the SPLIT candidate pass (see :func:`extract_split_quads`).
     """
     row = labels
     row = jnp.minimum(row, jnp.pad(labels, ((0, 0), (1, 0)), constant_values=BIG)[:, :-1])
     row = jnp.minimum(row, jnp.pad(labels, ((0, 0), (0, 1)), constant_values=BIG)[:, 1:])
-    # vertical + diagonal neighbors come from the row-wise min shifted up/down
-    out = jnp.minimum(row, jnp.pad(row, ((1, 0), (0, 0)), constant_values=BIG)[:-1, :])
-    out = jnp.minimum(out, jnp.pad(row, ((0, 1), (0, 0)), constant_values=BIG)[1:, :])
+    # vertical (+ diagonal when the row-wise min is shifted) neighbors
+    vert = row if diagonal else labels
+    out = jnp.minimum(row, jnp.pad(vert, ((1, 0), (0, 0)), constant_values=BIG)[:-1, :])
+    out = jnp.minimum(out, jnp.pad(vert, ((0, 1), (0, 0)), constant_values=BIG)[1:, :])
     return jnp.where(fg, out, BIG)
 
 
@@ -240,7 +247,7 @@ def _run_min_scan(labels, fg, axis: int):
     return jnp.where(fg, jnp.minimum(m_f, m_b), BIG)
 
 
-def connected_components(fg, passes: int = 10):
+def connected_components(fg, passes: int = 10, diagonal: bool = True):
     """8-connected component labels: run scans + label propagation + pointer
     jumping.
 
@@ -268,7 +275,7 @@ def connected_components(fg, passes: int = 10):
         return jnp.where(fg, jnp.minimum(labels, flat[idx].reshape(H, W)), BIG)
 
     def body(_, labels):
-        labels = _neighbor_min(labels, fg)
+        labels = _neighbor_min(labels, fg, diagonal)
         labels = _run_min_scan(labels, fg, -1)
         labels = _run_min_scan(labels, fg, -2)
         labels = jump(labels)
@@ -310,19 +317,26 @@ class QuadCandidates(NamedTuple):
     area: jnp.ndarray  # (K,) float32
 
 
-def extract_quads(labels, params: DetectorParams) -> QuadCandidates:
+def extract_quads(labels, params: DetectorParams, top_labels=None,
+                  parent_labels=None, k_slots=None) -> QuadCandidates:
     """Corner extraction for the top-K components of one label image.
 
     Farthest-point geometry: p1 = farthest from centroid, p2 = farthest from
     p1 (the diagonal), p3/p4 = extremes of the signed distance to line
     (p1, p2).  Ordered clockwise (image coords) starting from p1.
+
+    ``top_labels``/``parent_labels``/``k_slots`` serve the 4-connected
+    SPLIT pass (:func:`extract_split_quads`): explicit candidate labels,
+    and an 8-connected label image whose component must be STRICTLY larger
+    than the candidate (area4 < area8) for the slot to be valid.
     """
     H, W = labels.shape
-    K = params.max_candidates
-    top_labels, _ = _top_k_labels(
-        labels, K, H, W,
-        max_area=params.max_area_rate * H * W, min_area=params.min_area,
-    )
+    K = k_slots if k_slots is not None else params.max_candidates
+    if top_labels is None:
+        top_labels, _ = _top_k_labels(
+            labels, K, H, W,
+            max_area=params.max_area_rate * H * W, min_area=params.min_area,
+        )
 
     ys, xs = jnp.mgrid[0:H, 0:W]
     xs = xs.astype(jnp.float32).reshape(-1)
@@ -394,10 +408,49 @@ def extract_quads(labels, params: DetectorParams) -> QuadCandidates:
             & convex
             & ((fill > 0.2) | outline)
         )
+        if parent_labels is not None:
+            # split gate (exact): the 4-conn component must be a strict
+            # subset of its 8-conn parent — the parent label is the 8-label
+            # at the candidate's root pixel (labels are min pixel indices)
+            par = parent_labels.reshape(-1)[jnp.clip(label, 0, H * W - 1)]
+            area8 = jnp.sum(parent_labels.reshape(-1) == par)
+            valid = valid & (area < area8)
         return quad, valid, quad_area
 
     corners, valid, area = jax.vmap(one)(top_labels)
     return QuadCandidates(corners=corners, valid=valid, area=area)
+
+
+def extract_split_quads(labels8, labels4, params: DetectorParams) -> QuadCandidates:
+    """4-connected SPLIT candidates (see fastccl.c module docstring).
+
+    Ranks 4-connected components that are (by the downsampled estimate)
+    strictly smaller than their 8-connected parent — i.e. a diagonal
+    aliasing strand broke — and extracts their quads with the exact
+    ``area4 < area8`` gate.  Mirrors the C extractor's packed2 pass so the
+    pure-device mode keeps candidate parity.
+    """
+    H, W = labels4.shape
+    K2 = params.max_candidates_4conn
+    ds4 = labels4[::2, ::2]
+    ds8 = labels8[::2, ::2]
+    flat4 = jnp.where(ds4 == BIG, H * W, ds4).reshape(-1)
+    flat8 = jnp.where(ds8 == BIG, H * W, ds8).reshape(-1)
+    est4 = jnp.zeros((H * W + 1,), jnp.int32).at[flat4].add(1).at[H * W].set(0) * 4
+    est8 = jnp.zeros((H * W + 1,), jnp.int32).at[flat8].add(1).at[H * W].set(0) * 4
+    # parent 8-label of each candidate 4-label (labels are min pixel indices)
+    par = labels8.reshape(-1)
+    par_est = est8[jnp.where(par == BIG, H * W, par)]
+    ranked = jnp.where(
+        (est4[: H * W] > 0)
+        & (est4[: H * W] < par_est)
+        & (est4[: H * W] >= 0.25 * params.min_area)
+        & (est4[: H * W] <= 2.0 * params.max_area_rate * H * W),
+        est4[: H * W], 0,
+    )
+    _, top4 = lax.top_k(ranked, K2)
+    return extract_quads(labels4, params, top_labels=top4.astype(jnp.int32),
+                         parent_labels=labels8, k_slots=K2)
 
 
 class CropView(NamedTuple):
@@ -826,11 +879,27 @@ def detect_markers(gray, table, n_bits: int, params: DetectorParams) -> Detectio
     cand = jax.vmap(lambda l: extract_quads(l, params))(labels)
 
     Wn, K = len(params.win_sizes), params.max_candidates
-    corners_flat = cand.corners.reshape(Wn * K, 4, 2)
+    K2 = params.max_candidates_4conn
+    if K2 > 0:
+        # 4-connected SPLIT candidates (same slot layout as the C packed2
+        # extractor: per window, K 8-conn slots then K2 split slots)
+        labels4 = jax.vmap(
+            lambda f: connected_components(f, params.ccl_passes, diagonal=False)
+        )(fgs)
+        cand4 = jax.vmap(
+            lambda l8, l4: extract_split_quads(l8, l4, params)
+        )(labels, labels4)
+        corners_w = jnp.concatenate([cand.corners, cand4.corners], axis=1)
+        valid_w = jnp.concatenate([cand.valid, cand4.valid], axis=1)
+        area_w = jnp.concatenate([cand.area, cand4.area], axis=1)
+        cand = QuadCandidates(corners=corners_w, valid=valid_w, area=area_w)
+    Ks = K + K2 if K2 > 0 else K
+
+    corners_flat = cand.corners.reshape(Wn * Ks, 4, 2)
     refined = jax.vmap(lambda q: refine_quad(gray, q, params))(corners_flat)
     ids, rots, corners, ok = decode_quads(
-        gray, refined, cand.valid.reshape(Wn * K), table, n_bits, params
+        gray, refined, cand.valid.reshape(Wn * Ks), table, n_bits, params
     )
-    area = cand.area.reshape(Wn * K)
+    area = cand.area.reshape(Wn * Ks)
 
     return dedup_and_compact(corners, ids, ok, area, params)

@@ -196,23 +196,29 @@ def quads_from_masks(fg: np.ndarray, params) -> tuple[np.ndarray, np.ndarray, np
     )
 
 
-def _collect_window_candidates(B, Wn, H, W, params, extract):
+def _collect_window_candidates(B, Wn, H, W, params, extract, K2=0):
     """Shared tail of the C candidate extractors: collect per-(image,
     window) quads into fixed slots, enforce clockwise winding, apply the
-    validity gates.  ``extract(b, wi) -> (corners_bytes, area_bytes, n)``."""
+    validity gates.  ``extract(b, wi) -> (corners_bytes, area_bytes, n)``
+    or, with ``K2 > 0`` extra 4-conn split slots per window,
+    ``-> (corners_bytes, area_bytes, n8, n4)``."""
     K = params.max_candidates
-    quads = np.zeros((B, Wn * K, 4, 2), np.float32)
-    areas = np.zeros((B, Wn * K), np.float32)
-    valid = np.zeros((B, Wn * K), bool)
+    Ks = K + K2
+    quads = np.zeros((B, Wn * Ks, 4, 2), np.float32)
+    areas = np.zeros((B, Wn * Ks), np.float32)
+    valid = np.zeros((B, Wn * Ks), bool)
     for b in range(B):
         for wi in range(Wn):
-            c_bytes, a_bytes, cnt = extract(b, wi)
-            q = np.frombuffer(c_bytes, np.float32).reshape(K, 4, 2)
+            out = extract(b, wi)
+            c_bytes, a_bytes = out[0], out[1]
+            q = np.frombuffer(c_bytes, np.float32).reshape(Ks, 4, 2)
             a = np.frombuffer(a_bytes, np.int32)
-            sl = wi * K
-            quads[b, sl : sl + K] = q
-            areas[b, sl : sl + K] = a
-            valid[b, sl : sl + cnt] = True
+            sl = wi * Ks
+            quads[b, sl : sl + Ks] = q
+            areas[b, sl : sl + Ks] = a
+            valid[b, sl : sl + out[2]] = True
+            if K2 > 0:
+                valid[b, sl + K : sl + K + out[3]] = True
 
     # enforce clockwise winding (image coords): positive shoelace
     x = quads[..., 0]
@@ -239,6 +245,17 @@ def quads_from_packed_masks(packed: np.ndarray, H: int, W: int, params):
         return quads_from_masks(fg[:, :, :H], params)
 
     B, Wn, Hrows, Wb = packed.shape
+    K2 = params.max_candidates_4conn
+    if K2 > 0 and hasattr(ccl, "quad_candidates_packed2"):
+        return _collect_window_candidates(
+            B, Wn, H, W, params,
+            lambda b, wi: ccl.quad_candidates_packed2(
+                np.ascontiguousarray(packed[b, wi, :H]), H, W, Wb,
+                params.max_candidates, K2, params.min_area,
+                params.max_area_rate * H * W,
+            ),
+            K2=K2,
+        )
     return _collect_window_candidates(
         B, Wn, H, W, params,
         lambda b, wi: ccl.quad_candidates_packed(
@@ -904,7 +921,6 @@ def estimate_pose_batched(
         from .ops.roi import build_roi_batch
 
         use_mm = D_.resolve_roi_matmul(params)
-        Q_all = Wn * params.max_candidates
 
         def stage_threshold(prep):
             """Feed side: host threshold + C CCL + ROI clustering + crop
@@ -912,6 +928,7 @@ def estimate_pose_batched(
             host link (~25x less than the frame on marker scenes)."""
             batch_files, batch_cams, nb, gray, Ks, dists, (H, W) = prep
             quads, valid, areas = host_candidates(gray, params)
+            Q_all = quads.shape[1]  # slot layout incl. any 4-conn splits
             rb = build_roi_batch(gray, quads, valid, areas, H, W, params)
             if rb is None:
                 # a site exceeds the top tier (very close-range marker):
