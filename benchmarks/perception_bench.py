@@ -111,9 +111,7 @@ def main():
     files = ds.im_data["filename"]
     cams = ds.im_data["cam"]
 
-    results = {}
-    keys_of: dict = {}
-    for mode in args.modes.split(","):
+    def make_runner(mode):
         if mode == "reference":
             sys.path.insert(0, "/root/reference")
             ref_cams = to_reference_cams(cams)
@@ -141,18 +139,36 @@ def main():
                 # the edge dict is already host-side numpy: construction IS the sync
                 return time.perf_counter() - t0, len(edges), set(edges)
 
+        return run
+
+    # INTERLEAVED reps: host CPU speed drifts minute-to-minute on this
+    # machine (identical-file imread measured 4.8 vs 12.9 ms/img in two
+    # sessions), so mode A's reps and mode B's reps must sample the same
+    # machine state — round-robin the modes inside each rep.
+    results = {}
+    keys_of: dict = {}
+    runners = {}
+    times_of: dict = {}
+    for mode in args.modes.split(","):
+        runners[mode] = make_runner(mode)
         try:
-            _warm, n_det, keys_of[mode] = run()
-            times = sorted(run()[0] for _ in range(args.reps))
-            sec = times[len(times) // 2]
-            results[mode] = {
-                "img_per_s": round(len(files) / sec, 2),
-                "wall_s": round(sec, 2),
-                "detections": n_det,
-                "first_call_s": round(_warm, 1),
-            }
+            _warm, n_det, keys_of[mode] = runners[mode]()  # warmup/compile
+            results[mode] = {"detections": n_det, "first_call_s": round(_warm, 1)}
+            times_of[mode] = []
         except Exception as e:  # a mode unavailable on this host
             results[mode] = {"error": repr(e)[:200]}
+            runners.pop(mode)
+    for _rep in range(args.reps):
+        for mode in runners:
+            times_of[mode].append(runners[mode]()[0])
+    for mode in runners:
+        times = sorted(times_of[mode])
+        sec = times[len(times) // 2]
+        results[mode].update({
+            "img_per_s": round(len(files) / sec, 2),
+            "wall_s": round(sec, 2),
+            "runs_s_sorted": [round(t, 3) for t in times],
+        })
         print(json.dumps({
             "metric": f"perception {mode} mode ({args.frames} frames {W}x{H}, batch {args.batch_size})",
             "value": results[mode].get("img_per_s"),

@@ -341,7 +341,9 @@ class TestEndToEnd:
         # program despite two source shapes
         keys = set(perception._PIPELINE_CACHE)
         assert len([k for k in keys if k[0] == "thresh_tiles"]) == 1, keys
-        assert len([k for k in keys if k[0] == "hybrid"]) == 1, keys
+        # the detect stage is the crop-view program (windows computed
+        # against the shared BUCKET dims, so one program per bucket)
+        assert len([k for k in keys if k[0] == "cropdet"]) == 1, keys
 
         monkeypatch.setenv("VICAN_TPU_SHAPE_BUCKET", "1")
         perception._PIPELINE_CACHE.clear()

@@ -33,7 +33,7 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["RoiBatch", "cluster_rois", "build_roi_batch"]
+__all__ = ["RoiBatch", "cluster_rois", "build_roi_batch", "build_crop_meta"]
 
 # containment slack: local hi-clamp is W-1.001; 1.26 keeps every in-window
 # sample strictly below it even after float rounding
@@ -137,6 +137,64 @@ class RoiBatch:
 
 def _round_up(n: int, q: int) -> int:
     return -(-max(n, 1) // q) * q
+
+
+def build_crop_meta(quads: np.ndarray, valid: np.ndarray, areas: np.ndarray,
+                    H: int, W: int, params):
+    """Per-candidate crop-window metadata for DEVICE-RESIDENT frames.
+
+    The device/host modes keep the full frame on device (it crossed the
+    link for thresholding anyway), so refine/decode can slice a static
+    ``T x T`` window per candidate with ``lax.dynamic_slice`` instead of
+    gathering from the megapixel frame — same exactness predicate as the
+    uploaded-crop path, no window sharing needed (slicing is free).
+
+    Returns ``(caps, metas)`` with ``caps = ((T, Ncap), ...)`` per occupied
+    tier and ``metas[t]`` a (14, Ncap) float32: rows 0-7 global quad,
+    8 valid, 9 area, 10 slot (b*Q + q), 11 image index, 12-13 window
+    origin — or None when a candidate fits no tier (full-frame fallback).
+    """
+    B, Q = valid.shape
+    tiers = tuple(params.roi_tiers)
+    margin = float(params.roi_margin)
+    per_tier: dict = {t: [] for t in range(len(tiers))}
+    for b in range(B):
+        idxs = np.nonzero(valid[b])[0]
+        if idxs.size == 0:
+            continue
+        q = quads[b][idxs]
+        xmin = q[:, :, 0].min(1) - margin
+        xmax = q[:, :, 0].max(1) + margin
+        ymin = q[:, :, 1].min(1) - margin
+        ymax = q[:, :, 1].max(1) + margin
+        for j, qi in enumerate(idxs):
+            for ti, T in enumerate(tiers):
+                ox = _fit_axis(float(xmin[j]), float(xmax[j]), T, W)
+                oy = _fit_axis(float(ymin[j]), float(ymax[j]), T, H)
+                if ox is not None and oy is not None:
+                    per_tier[ti].append((b, int(qi), ox, oy))
+                    break
+            else:
+                return None, None
+    caps, metas = [], []
+    for t in range(len(tiers)):
+        cands = per_tier[t]
+        if not cands:
+            continue
+        Ncap = _round_up(len(cands), 64)
+        meta = np.zeros((14, Ncap), np.float32)
+        meta[10] = B * Q  # padding columns scatter to the trash row
+        for i, (b, qi, ox, oy) in enumerate(cands):
+            meta[0:8, i] = quads[b, qi].reshape(-1)
+            meta[8, i] = 1.0
+            meta[9, i] = areas[b, qi]
+            meta[10, i] = b * Q + qi
+            meta[11, i] = b
+            meta[12, i] = ox
+            meta[13, i] = oy
+        caps.append((tiers[t], Ncap))
+        metas.append(meta)
+    return tuple(caps), metas
 
 
 def build_roi_batch(gray: np.ndarray, quads: np.ndarray, valid: np.ndarray,

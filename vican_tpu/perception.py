@@ -587,20 +587,26 @@ def _build_hybrid(B, Q, n_bits, params, lm_iters, marker_size, pnp_method):
 
 
 def _build_roi_detect(B, Q, HW, caps, n_bits, params, lm_iters, marker_size,
-                      pnp_method, use_mm):
+                      pnp_method, use_mm, from_frames=False):
     """Device program: refine + decode + dedup + PnP from ROI CROPS.
 
     ``caps``: tuple of ``(T, Rcap, Ncap)`` per occupied crop tier (see
-    :class:`vican_tpu.ops.roi.RoiBatch`).  Each candidate samples its own
-    (T, T) crop in GLOBAL image coordinates (``CropView``) — via the
-    one-hot matmul sampler on TPU (``use_mm``), so refine+decode rides the
-    MXU instead of serializing through gathers — then results scatter back
-    to the per-image candidate grid for the SAME dedup/PnP tail as the
-    full-frame program.  Bit-identical to the full-frame path by the
-    ops/roi.py exactness contract.
+    :class:`vican_tpu.ops.roi.RoiBatch`), or ``(T, Ncap)`` with
+    ``from_frames=True``, where crops are ``lax.dynamic_slice``d out of
+    the DEVICE-RESIDENT frame batch instead of uploaded (the device/host
+    modes — the frame crossed the link for thresholding anyway, and a
+    static-size slice is free while gathering refine/decode samples from
+    the megapixel frame serialized at ~300 ms/batch).  Each candidate
+    samples its own (T, T) crop in GLOBAL image coordinates (``CropView``)
+    — via the one-hot matmul sampler on TPU (``use_mm``), so refine+decode
+    rides the MXU — then results scatter back to the per-image candidate
+    grid for the SAME dedup/PnP tail as the full-frame program.
+    Bit-identical to the full-frame path by the ops/roi.py exactness
+    contract.
     """
     import jax
     import jax.numpy as jnp
+    from jax import lax
 
     from .ops import detect as D_
 
@@ -608,21 +614,35 @@ def _build_roi_detect(B, Q, HW, caps, n_bits, params, lm_iters, marker_size,
     pnp = _pnp_block(B, params, lm_iters, marker_size, pnp_method)
 
     @jax.jit
-    def run(crops_l, meta_l, Ks, dists, table):
+    def run(crops_in, meta_l, Ks, dists, table):
         with jax.default_matmul_precision("highest"):
+            if from_frames:
+                frames_f = crops_in.astype(jnp.float32)
             all_ids, all_corners, all_ok, all_area, all_slot = [], [], [], [], []
-            for (T, Rcap, Ncap), crops, meta in zip(caps, crops_l, meta_l):
-                crops_f = crops.reshape(Rcap, T, T).astype(jnp.float32)
+            for ti, (cap, meta) in enumerate(zip(caps, meta_l)):
+                if from_frames:
+                    T, Ncap = cap
+                else:
+                    T, Rcap, Ncap = cap
+                    crops_f = crops_in[ti].reshape(Rcap, T, T).astype(jnp.float32)
                 gquad = meta[0:8].T.reshape(Ncap, 4, 2)
                 validc = meta[8] > 0.5
                 area = meta[9]
                 slot = meta[10].astype(jnp.int32)
-                crop_of = meta[11].astype(jnp.int32)
+                crop_of = meta[11].astype(jnp.int32)  # crop index / image index
                 origin = meta[12:14].T  # (Ncap, 2) = (ox, oy)
 
                 def per_cand(gq, v, ci, o):
+                    if from_frames:
+                        crop = lax.dynamic_slice(
+                            frames_f,
+                            (ci, o[1].astype(jnp.int32), o[0].astype(jnp.int32)),
+                            (1, T, T),
+                        )[0]
+                    else:
+                        crop = crops_f[ci]
                     view = D_.MatmulCropView if use_mm else D_.CropView
-                    im = view(crops_f[ci], o[0], o[1], W, H)
+                    im = view(crop, o[0], o[1], W, H)
                     refined = D_.refine_quad(im, gq, params)
                     bid, _rot, corners, ok = D_.decode_one(
                         im, refined, v, table, n_bits, params
@@ -860,11 +880,47 @@ def estimate_pose_batched(
         )
         return batch_files, batch_cams, nb, gray, Ks, dists, (H, W)
 
-    def dispatch_detect(meta, gray_dev, quads, valid, areas, Ks, dists):
-        """Device stage D: refine/decode/dedup/PnP (async)."""
+    def dispatch_detect(meta, gray_dev, quads, valid, areas, Ks, dists, hw=None):
+        """Device stage D: refine/decode/dedup/PnP (async).
+
+        With ``hw`` (true image dims) and no mesh, candidates route through
+        the crop-view program (``_build_roi_detect(from_frames=True)``):
+        static dynamic-slice windows out of the device-resident frame, MXU
+        matmul sampling — ~10x less detect compute than the full-frame
+        gather program, bit-identical results.  Falls back to the gather
+        program when a candidate fits no tier (very close range) or under
+        a mesh (a traced slice across the sharded batch axis would gather).
+        """
         batch_files, batch_cams, nb = meta
-        H, W = gray_dev.shape[1:3]
         Q = quads.shape[1]
+        if hw is not None and mesh is None:
+            from .ops.roi import build_crop_meta
+
+            # window math against the PADDED frame dims: the resident frame
+            # is bucket-padded (edge-replicate) and the old gather program
+            # clamped against those dims too, so crop windows may reach into
+            # the pad (replicated values == edge clamp) and the compiled
+            # program is shared by every resolution in the bucket
+            H, W = gray_dev.shape[1:3]
+            caps, metas = build_crop_meta(quads, valid, areas, H, W, params)
+            if caps is not None:
+                if not caps:  # no candidates in the batch (blank frames)
+                    empty = np.zeros((23, B * params.max_detections), np.float32)
+                    return (batch_files, batch_cams, nb, empty)
+                use_mm = D_.resolve_roi_matmul(params)
+                run = _get_pipeline(
+                    ("cropdet", B, Q, (H, W), caps,
+                     tuple(gray_dev.shape), n_bits, params, lm_iters,
+                     float(marker_size), pnp_method, use_mm),
+                    lambda: _build_roi_detect(B, Q, (H, W), caps, n_bits,
+                                              params, lm_iters,
+                                              float(marker_size), pnp_method,
+                                              use_mm, from_frames=True),
+                )
+                out = run(gray_dev, tuple(jnp.asarray(m) for m in metas),
+                          jnp.asarray(Ks), jnp.asarray(dists), table)
+                return (batch_files, batch_cams, nb, out)
+        H, W = gray_dev.shape[1:3]
         run = _get_pipeline(
             ("hybrid", H, W, B, Q, n_bits, params, lm_iters, float(marker_size),
              pnp_method),
@@ -915,7 +971,8 @@ def estimate_pose_batched(
                 packed = _packed_from_tiles(sel, payload, Hp2, Wb2)
             packed = _mask_packed_width(packed, W)
             quads, valid, areas = quads_from_packed_masks(packed, H, W, params)
-            return dispatch_detect(meta, gray_f32, quads, valid, areas, Ks, dists)
+            return dispatch_detect(meta, gray_f32, quads, valid, areas, Ks,
+                                   dists, hw=(H, W))
 
     elif mode == "roi":
         from .ops.roi import build_roi_batch
@@ -974,11 +1031,13 @@ def estimate_pose_batched(
             quads, valid, areas = host_candidates(
                 np.ascontiguousarray(gray[:, :H, :W]), params)
             (gray_dev,) = shard([gray])
-            return ((batch_files, batch_cams, nb), gray_dev, quads, valid, areas, Ks, dists)
+            return ((batch_files, batch_cams, nb), gray_dev, quads, valid,
+                    areas, Ks, dists, (H, W))
 
         def stage_ccl(handle):
-            meta, gray_dev, quads, valid, areas, Ks, dists = handle
-            return dispatch_detect(meta, gray_dev, quads, valid, areas, Ks, dists)
+            meta, gray_dev, quads, valid, areas, Ks, dists, hw = handle
+            return dispatch_detect(meta, gray_dev, quads, valid, areas, Ks,
+                                   dists, hw=hw)
 
     else:  # "pure"
 
