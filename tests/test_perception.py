@@ -4,6 +4,8 @@ This is BASELINE config 4 in miniature: a marker cube moving through a small
 camera network, rendered to JPEGs, detected + PnP'd on device, then solved
 with bipartite_se3sync, with camera poses checked against ground truth.
 """
+import os
+
 import numpy as np
 import pytest
 
@@ -223,15 +225,21 @@ class TestEndToEnd:
             batch_size=3, verbose=False,
         )
         dev = estimate_pose_mp(files, cams_l, pipeline_mode="device", **kwargs)
-        for dp in (None, DetectorParams(roi_matmul_sampling=True)):
-            roi = estimate_pose_mp(files, cams_l, pipeline_mode="roi",
-                                   detector_params=dp, **kwargs)
-            assert set(roi) == set(dev)
-            for k in dev:
-                np.testing.assert_array_equal(roi[k]["corners"], dev[k]["corners"])
-                np.testing.assert_array_equal(
-                    np.asarray(roi[k]["pose"].pose()), np.asarray(dev[k]["pose"].pose())
-                )
+        for upload in ("tiles", "windows"):
+            os.environ["VICAN_TPU_ROI_UPLOAD"] = upload
+            try:
+                for dp in (None, DetectorParams(roi_matmul_sampling=True)):
+                    roi = estimate_pose_mp(files, cams_l, pipeline_mode="roi",
+                                           detector_params=dp, **kwargs)
+                    assert set(roi) == set(dev), upload
+                    for k in dev:
+                        np.testing.assert_array_equal(
+                            roi[k]["corners"], dev[k]["corners"])
+                        np.testing.assert_array_equal(
+                            np.asarray(roi[k]["pose"].pose()),
+                            np.asarray(dev[k]["pose"].pose()))
+            finally:
+                os.environ.pop("VICAN_TPU_ROI_UPLOAD", None)
 
     def test_oblique_merged_markers_recovered(self, tmp_path):
         """Extreme-oblique adjacent markers whose border rings merge into

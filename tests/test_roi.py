@@ -115,6 +115,120 @@ class TestClusterRois:
                 )
 
 
+class TestTileBatch:
+    """Tile-union transport: the reconstructed frame must carry the true
+    pixel at EVERY coordinate refine/decode can touch (reach union), and
+    the per-candidate window metadata must satisfy the same exactness
+    predicate as the uploaded-window path."""
+
+    def _reconstruct(self, tb, B):
+        from vican_tpu.ops.roi import TILE
+
+        Hp, Wp = tb.frame_hw
+        Ht, Wt = Hp // TILE, Wp // TILE
+        grid = np.zeros((B * Ht * Wt + 1, TILE * TILE), np.uint8)
+        grid[tb.tidx] = tb.tiles
+        return (grid[: B * Ht * Wt].reshape(B, Ht, Wt, TILE, TILE)
+                .transpose(0, 1, 3, 2, 4).reshape(B, Hp, Wp))
+
+    def test_reach_union_covered_and_windows_exact(self):
+        from vican_tpu.ops.roi import build_tile_batch
+
+        rng = np.random.default_rng(7)
+        B, H, W = 3, 190, 330  # not TILE multiples: partial edge tiles
+        gray = rng.integers(0, 256, (B, H, W)).astype(np.uint8)
+        quads = np.stack([_rand_quads(rng, 8, H, W) for _ in range(B)])
+        valid = rng.random((B, 8)) < 0.8
+        areas = rng.uniform(100, 400, (B, 8)).astype(np.float32)
+        params = DetectorParams(roi_tiers=(64, 128), roi_margin=8)
+        tb = build_tile_batch(gray, quads, valid, areas, H, W, params)
+        assert tb is not None
+        frames = self._reconstruct(tb, B)
+        m = float(params.roi_margin)
+        seen = 0
+        for cap, meta in zip(tb.caps, tb.metas):
+            T, Ncap = cap
+            n = int((meta[8] > 0.5).sum())
+            seen += n
+            for i in range(n):
+                b = int(meta[10, i]) // valid.shape[1]
+                q = int(meta[10, i]) % valid.shape[1]
+                assert int(meta[11, i]) == b  # row 11 = image index
+                ox, oy = int(meta[12, i]), int(meta[13, i])
+                assert 0 <= ox <= W - T and 0 <= oy <= H - T
+                x0 = max(0, int(np.floor(quads[b, q, :, 0].min() - m)))
+                x1 = min(W - 1, int(np.ceil(quads[b, q, :, 0].max() + m)) + 1)
+                y0 = max(0, int(np.floor(quads[b, q, :, 1].min() - m)))
+                y1 = min(H - 1, int(np.ceil(quads[b, q, :, 1].max() + m)) + 1)
+                # window satisfies the exactness predicate
+                bx0 = quads[b, q, :, 0].min() - m
+                bx1 = quads[b, q, :, 0].max() + m
+                assert (ox == 0) if bx0 < 0 else (ox <= bx0)
+                assert (ox + T == W) if bx1 > W - _SLACK else (bx1 <= ox + T - _SLACK)
+                # every touchable pixel (bilinear lattice incl.) is uploaded
+                np.testing.assert_array_equal(
+                    frames[b, y0:y1 + 1, x0:x1 + 1], gray[b, y0:y1 + 1, x0:x1 + 1]
+                )
+        assert seen == int(valid.sum())
+        # padding tidx rows point at the trash row (outside the grid)
+        from vican_tpu.ops.roi import TILE
+
+        Hp, Wp = tb.frame_hw
+        ntiles = B * (Hp // TILE) * (Wp // TILE)
+        assert (tb.tidx >= 0).all() and (tb.tidx <= ntiles).all()
+
+    def test_oversized_site_returns_none(self):
+        from vican_tpu.ops.roi import build_tile_batch
+
+        quads = np.array([[[[10, 10], [500, 10], [500, 500], [10, 500]]]], np.float32)
+        params = DetectorParams(roi_tiers=(64, 128), roi_margin=8)
+        out = build_tile_batch(
+            np.zeros((1, 720, 1280), np.uint8), quads, np.ones((1, 1), bool),
+            np.ones((1, 1), np.float32), 720, 1280, params)
+        assert out is None
+
+    def test_blank_batch(self):
+        from vican_tpu.ops.roi import build_tile_batch
+
+        params = DetectorParams(roi_tiers=(64, 128), roi_margin=8)
+        tb = build_tile_batch(
+            np.zeros((2, 96, 96), np.uint8), np.zeros((2, 4, 4, 2), np.float32),
+            np.zeros((2, 4), bool), np.zeros((2, 4), np.float32), 96, 96, params)
+        assert tb is not None and tb.caps == () and tb.tiles.shape[0] == 0
+
+    def test_crop_meta_matches_scalar_fit(self):
+        """Vectorized window fit == the scalar _fit_axis ladder."""
+        from vican_tpu.ops.roi import _fit_axis, build_crop_meta
+
+        rng = np.random.default_rng(11)
+        H, W = 250, 410
+        tiers = (64, 128, 192)
+        params = DetectorParams(roi_tiers=tiers, roi_margin=8)
+        quads = np.stack([_rand_quads(rng, 12, H, W) for _ in range(2)])
+        valid = rng.random((2, 12)) < 0.9
+        areas = rng.uniform(50, 300, (2, 12)).astype(np.float32)
+        caps, metas = build_crop_meta(quads, valid, areas, H, W, params)
+        assert caps is not None
+        got = {}
+        for cap, meta in zip(caps, metas):
+            T, _ = cap
+            for i in range(int((meta[8] > 0.5).sum())):
+                got[int(meta[10, i])] = (T, int(meta[12, i]), int(meta[13, i]))
+        m = 8.0
+        for b in range(2):
+            for q in np.nonzero(valid[b])[0]:
+                for T in tiers:
+                    ox = _fit_axis(quads[b, q, :, 0].min() - m,
+                                   quads[b, q, :, 0].max() + m, T, W)
+                    oy = _fit_axis(quads[b, q, :, 1].min() - m,
+                                   quads[b, q, :, 1].max() + m, T, H)
+                    if ox is not None and oy is not None:
+                        assert got[b * 12 + int(q)] == (T, ox, oy)
+                        break
+                else:
+                    raise AssertionError("scalar ladder found no tier")
+
+
 class TestExactSamplers:
     def _check(self, view_of, T=64):
         rng = np.random.default_rng(3)

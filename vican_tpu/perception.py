@@ -52,13 +52,23 @@ __all__ = [
 ]
 
 
-def load_images(filenames: Iterable[str]) -> np.ndarray:
-    """Host JPEG decode into a uint8 (B, H, W, 3) BGR batch."""
+def load_images(filenames: Iterable[str], grayscale: bool = False) -> np.ndarray:
+    """Host JPEG decode into a uint8 (B, H, W, 3) BGR batch.
+
+    ``grayscale=True`` decodes straight to (B, H, W) gray — ~3x faster for
+    JPEG (libjpeg skips chroma upsampling + the BGR round trip; measured
+    8.7 -> 2.8 ms/img at 720p).  Used when brightness == contrast == 0, so
+    the color->gray preprocess is the identity transform anyway.  For
+    chroma-subsampled color JPEGs libjpeg's Y channel can differ by +-1
+    from cvtColor(BGR2GRAY) of the color decode; every pipeline mode shares
+    this loader, so cross-mode detection equality is unaffected.
+    """
     import cv2 as cv
 
+    flag = cv.IMREAD_GRAYSCALE if grayscale else cv.IMREAD_COLOR
     ims = []
     for fn in filenames:
-        im = cv.imread(fn)
+        im = cv.imread(fn, flag)
         if im is None:
             raise FileNotFoundError(f"could not read image: {fn}")
         ims.append(im)
@@ -587,7 +597,7 @@ def _build_hybrid(B, Q, n_bits, params, lm_iters, marker_size, pnp_method):
 
 
 def _build_roi_detect(B, Q, HW, caps, n_bits, params, lm_iters, marker_size,
-                      pnp_method, use_mm, from_frames=False):
+                      pnp_method, use_mm, from_frames=False, tile_spec=None):
     """Device program: refine + decode + dedup + PnP from ROI CROPS.
 
     ``caps``: tuple of ``(T, Rcap, Ncap)`` per occupied crop tier (see
@@ -603,6 +613,13 @@ def _build_roi_detect(B, Q, HW, caps, n_bits, params, lm_iters, marker_size,
     grid for the SAME dedup/PnP tail as the full-frame program.
     Bit-identical to the full-frame path by the ops/roi.py exactness
     contract.
+
+    ``tile_spec=(Hp, Wp, tile, Tcap)`` selects the tile-union transport
+    (:class:`vican_tpu.ops.roi.TileBatch`): ``crops_in`` is ``(tiles
+    (Tcap, tile*tile) uint8, tidx (Tcap,) int32)`` and the frame batch is
+    reconstructed by scattering the tiles into zeros before the SAME
+    crop-view body (``from_frames`` is implied).  Un-uploaded pixels are
+    zero but never sampled (reach-union coverage, ops/roi.py).
     """
     import jax
     import jax.numpy as jnp
@@ -612,11 +629,26 @@ def _build_roi_detect(B, Q, HW, caps, n_bits, params, lm_iters, marker_size,
 
     H, W = HW
     pnp = _pnp_block(B, params, lm_iters, marker_size, pnp_method)
+    if tile_spec is not None:
+        from_frames = True
 
     @jax.jit
     def run(crops_in, meta_l, Ks, dists, table):
         with jax.default_matmul_precision("highest"):
-            if from_frames:
+            if tile_spec is not None:
+                Hp, Wp, tile, Tcap = tile_spec
+                Ht, Wt = Hp // tile, Wp // tile
+                tiles_u8, tidx = crops_in
+                grid = jnp.zeros((B * Ht * Wt + 1, tile * tile), jnp.uint8)
+                grid = grid.at[tidx].set(tiles_u8)
+                frames_f = (
+                    grid[: B * Ht * Wt]
+                    .reshape(B, Ht, Wt, tile, tile)
+                    .transpose(0, 1, 3, 2, 4)
+                    .reshape(B, Hp, Wp)
+                    .astype(jnp.float32)
+                )
+            elif from_frames:
                 frames_f = crops_in.astype(jnp.float32)
             all_ids, all_corners, all_ok, all_area, all_slot = [], [], [], [], []
             for ti, (cap, meta) in enumerate(zip(caps, meta_l)):
@@ -848,7 +880,10 @@ def estimate_pose_batched(
         """Host stage: decode + preprocess + per-camera intrinsics."""
         batch_files = im_filenames[start : start + B]
         batch_cams = cams[start : start + B]
-        images = load_images(batch_files)
+        # direct grayscale decode when the brightness/contrast transform is
+        # the identity (it is applied pre-grayscale otherwise)
+        gray_direct = float(brightness) == 0.0 and float(contrast) == 0.0
+        images = load_images(batch_files, grayscale=gray_direct)
         decl = res_of(batch_cams[0])
         if None not in decl and tuple(images.shape[1:3]) != decl:
             raise ValueError(
@@ -862,7 +897,8 @@ def estimate_pose_batched(
         if nb < B:  # pad the tail batch
             images = np.concatenate([images, np.repeat(images[-1:], B - nb, axis=0)])
             batch_cams = batch_cams + [batch_cams[-1]] * (B - nb)
-        gray = host_preprocess(images, float(brightness), float(contrast))
+        gray = images if gray_direct else host_preprocess(
+            images, float(brightness), float(contrast))
         H, W = gray.shape[1:3]
         # shape bucketing (see _bucket_hw); exact.  The roi mode never
         # ships the frame, so its program shapes don't depend on (H, W) —
@@ -975,18 +1011,52 @@ def estimate_pose_batched(
                                    dists, hw=(H, W))
 
     elif mode == "roi":
-        from .ops.roi import build_roi_batch
+        from .ops.roi import build_roi_batch, build_tile_batch
 
         use_mm = D_.resolve_roi_matmul(params)
+        # transport variant: "tiles" (default) ships the TILE-px union of
+        # the candidate reach regions (no window-overlap duplication —
+        # ~2.9x fewer bytes than shared windows on marker-dense scenes);
+        # "windows" ships shared fixed-size crop windows
+        upload = os.environ.get("VICAN_TPU_ROI_UPLOAD", "tiles")
+
+        def _dispatch_tiles(batch_files, batch_cams, nb, tb, Q_all, HW, Ks, dists):
+            H, W = HW
+            if not tb.caps:  # no candidates in the batch (blank frames)
+                empty = np.zeros((23, B * params.max_detections), np.float32)
+                return ("roi", (batch_files, batch_cams, nb, empty))
+            from .ops.roi import TILE
+
+            Hp, Wp = tb.frame_hw
+            tile_spec = (Hp, Wp, TILE, tb.tiles.shape[0])
+            run = _get_pipeline(
+                ("roitile", B, Q_all, (H, W), tb.caps, tile_spec, n_bits,
+                 params, lm_iters, float(marker_size), pnp_method, use_mm),
+                lambda: _build_roi_detect(B, Q_all, (H, W), tb.caps, n_bits,
+                                          params, lm_iters, float(marker_size),
+                                          pnp_method, use_mm,
+                                          tile_spec=tile_spec),
+            )
+            out = run((jnp.asarray(tb.tiles), jnp.asarray(tb.tidx)),
+                      tuple(jnp.asarray(m) for m in tb.metas),
+                      jnp.asarray(Ks), jnp.asarray(dists), table)
+            return ("roi", (batch_files, batch_cams, nb, out))
 
         def stage_threshold(prep):
-            """Feed side: host threshold + C CCL + ROI clustering + crop
-            upload + detection dispatch (async).  Only the crops cross the
-            host link (~25x less than the frame on marker scenes)."""
+            """Feed side: host threshold + C CCL + ROI assembly + upload +
+            detection dispatch (async).  Only the candidate-region tiles
+            (or crop windows) cross the host link."""
             batch_files, batch_cams, nb, gray, Ks, dists, (H, W) = prep
             quads, valid, areas = host_candidates(gray, params)
             Q_all = quads.shape[1]  # slot layout incl. any 4-conn splits
-            rb = build_roi_batch(gray, quads, valid, areas, H, W, params)
+            rb = None
+            if upload == "tiles":
+                rb = build_tile_batch(gray, quads, valid, areas, H, W, params)
+                if rb is not None:
+                    return _dispatch_tiles(batch_files, batch_cams, nb, rb,
+                                           Q_all, (H, W), Ks, dists)
+            else:
+                rb = build_roi_batch(gray, quads, valid, areas, H, W, params)
             if rb is None:
                 # a site exceeds the top tier (very close-range marker):
                 # exact full-frame fallback via the hybrid program, with
