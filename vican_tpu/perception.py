@@ -6,11 +6,12 @@ at, in one of four pipeline modes (auto-selected; see
 :func:`estimate_pose_batched`):
 
 - ``"roi"`` (default): the frame NEVER crosses the host link.  Threshold
-  sweep (C integral-image kernel, _native/fastthresh.c, bit-packed out)
-  and run-based union-find quad extraction (_native/fastccl.c) run on
-  host; the valid candidates of each image are clustered into shared
-  fixed-size crop windows (:mod:`vican_tpu.ops.roi`) and ONLY those crops
-  upload.  Refine/decode sample the crops through exact one-hot matmuls
+  sweep (C integral-image kernel, _native/fastthresh.c, bit-packed out;
+  bit-identical numpy fallback without a C toolchain) and run-based
+  union-find quad extraction (_native/fastccl.c; bit-identical
+  scipy.ndimage fallback) run on host; the valid candidates of each image
+  are clustered into shared fixed-size crop windows
+  (:mod:`vican_tpu.ops.roi`) and ONLY those crops upload.  Refine/decode sample the crops through exact one-hot matmuls
   (MXU work instead of serialized gathers), and dedup/PnP return one
   packed buffer.  Detections are bit-identical to the full-frame modes by
   the ops/roi.py exactness contract (full-frame fallback when a site
@@ -22,10 +23,11 @@ at, in one of four pipeline modes (auto-selected; see
   second fused device program over the device-resident frame.  Best when
   the host link is fast (PCIe) and host CPU is the scarce resource.
 - ``"host"``: host threshold + full-frame upload for the detect program.
-- ``"pure"``: no native kernel available (``VICAN_TPU_NO_NATIVE=1`` or no C
-  toolchain) — the whole detection pipeline, including connected components,
+- ``"pure"``: the whole detection pipeline, including connected components,
   runs as one jitted device program (:func:`vican_tpu.ops.detect.
-  detect_markers`).
+  detect_markers`).  Explicit-selection only: hosts without a C toolchain
+  auto-resolve to ``"roi"`` through the numpy/scipy kernel stand-ins (only
+  a host with neither C nor scipy falls back here automatically).
 
 Corner convention note: corners are the *physical* marker boundary (intensity
 transition midpoint).  OpenCV's detector reports quads translated by
@@ -185,17 +187,27 @@ def _get_ccl():
 
 
 def quads_from_masks(fg: np.ndarray, params) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """C union-find quad candidates from a (B, Wn, H, W) foreground batch.
+    """Union-find quad candidates from a (B, Wn, H, W) foreground batch.
 
     Returns ``(quads (B, Q, 4, 2) float32, valid (B, Q) bool, areas)`` with
     ``Q = Wn * max_candidates``; quads are clockwise-wound and gated.
+    Production path is the C kernel (fastccl.c); without a C toolchain the
+    scipy.ndimage extractor below reproduces it bit-for-bit (incl. the
+    4-connected split candidates the packed2 entry point emits).
     """
     ccl = _get_ccl()
-    if ccl is None:
-        raise RuntimeError("fastccl unavailable; use the pure-device detect path")
-
     B = fg.shape[0]
     H, W = fg.shape[2], fg.shape[3]
+    if ccl is None:
+        K2 = params.max_candidates_4conn
+        return _collect_window_candidates(
+            B, fg.shape[1], H, W, params,
+            lambda b, wi: _candidates_scipy(
+                fg[b, wi], params.max_candidates, K2,
+                params.min_area, params.max_area_rate * H * W,
+            ),
+            K2=K2,
+        )
     return _collect_window_candidates(
         B, fg.shape[1], H, W, params,
         lambda b, wi: ccl.quad_candidates(
@@ -204,6 +216,94 @@ def quads_from_masks(fg: np.ndarray, params) -> tuple[np.ndarray, np.ndarray, np
             params.max_area_rate * H * W,
         ),
     )
+
+
+def _candidates_scipy(fg: np.ndarray, K: int, K2: int, min_area, max_area):
+    """scipy.ndimage fallback for fastccl.c — bit-identical by construction.
+
+    Mirrors the C kernel's semantics exactly (see fastccl.c for why each
+    step is tie-break-safe):
+
+    - component numbering: ``ndimage.label`` assigns labels in raster-scan
+      order of first encounter, matching the C slot order (roots keep the
+      minimum run index);
+    - top-K: the C ``top_k`` is replicated literally — no sort at all when
+      at most K candidates pass the area filter (scan order kept), else a
+      first-max selection sort whose swaps are tie-UNstable;
+    - corners: the C kernel evaluates run ENDPOINTS in (y, x) scan order
+      with strict comparisons; a full pixel sweep in the same order picks
+      the same points because every selection metric (squared distance,
+      signed cross product) is convex/linear in x along a run — an interior
+      pixel can never strictly beat both endpoints, and first-max/argmax
+      tie-breaking coincides;
+    - splits: 4-connected components that are strict subsets of their
+      8-connected parent (area4 < area8), as in quad_candidates_packed2.
+    """
+    from scipy import ndimage
+
+    fg = np.ascontiguousarray(fg, dtype=np.uint8)
+    lab8, n8 = ndimage.label(fg, structure=np.ones((3, 3), np.int32))
+    corners = np.zeros((K + K2, 4, 2), np.float32)
+    areas_out = np.zeros((K + K2,), np.int32)
+    lo, hi = int(min_area), int(max_area)  # C casts both to int32
+
+    def emit(lab, keep_ids, Kslots, base):
+        objs = ndimage.find_objects(lab)
+        for a, lid in enumerate(keep_ids[:Kslots]):
+            sl = objs[lid - 1]
+            ys, xs = np.nonzero(lab[sl] == lid)  # (y, x) scan order
+            xs = xs.astype(np.float64) + sl[1].start
+            ys = ys.astype(np.float64) + sl[0].start
+            area = xs.shape[0]
+            cx = xs.sum() / area
+            cy = ys.sum() / area
+            i1 = np.argmax((xs - cx) * (xs - cx) + (ys - cy) * (ys - cy))
+            p1x, p1y = xs[i1], ys[i1]
+            i2 = np.argmax((xs - p1x) * (xs - p1x) + (ys - p1y) * (ys - p1y))
+            p2x, p2y = xs[i2], ys[i2]
+            dx, dy = p2x - p1x, p2y - p1y
+            c = (xs - p1x) * dy - (ys - p1y) * dx
+            i3, i4 = np.argmax(c), np.argmin(c)
+            corners[base + a] = [[p1x, p1y], [xs[i3], ys[i3]],
+                                 [p2x, p2y], [xs[i4], ys[i4]]]
+            areas_out[base + a] = area
+        return min(len(keep_ids), Kslots)
+
+    def top_k_c(ids, areas, Kslots):
+        # The C top_k sorts ONLY when more than K candidates pass the
+        # filter (otherwise scan order is kept), and its selection sort
+        # swaps (first-max, swap-unstable) — replicate both exactly.
+        ids = list(ids)
+        if len(ids) > Kslots:
+            for a in range(Kslots):
+                best = a
+                for b in range(a + 1, len(ids)):
+                    if areas[ids[b]] > areas[ids[best]]:
+                        best = b
+                ids[a], ids[best] = ids[best], ids[a]
+            ids = ids[:Kslots]
+        return np.asarray(ids, np.int64) + 1  # 0-based -> label ids
+
+    area8 = np.bincount(lab8.ravel(), minlength=n8 + 1)[1:]
+    kept8 = np.nonzero((area8 >= lo) & (area8 <= hi))[0]
+    nkeep8 = emit(lab8, top_k_c(kept8, area8, K), K, 0)
+
+    nkeep4 = 0
+    if K2 > 0:
+        lab4, n4 = ndimage.label(fg)  # default structure = 4-connectivity
+        if n4 > n8:  # otherwise every 4-conn component == its 8-conn parent
+            area4 = np.bincount(lab4.ravel(), minlength=n4 + 1)[1:]
+            # 8-conn parent area looked up at each 4-component's first pixel
+            flat4 = lab4.ravel()
+            idx = np.nonzero(flat4)[0]
+            _, firsts = np.unique(flat4[idx], return_index=True)  # labels 1..n4
+            parent8 = area8[lab8.ravel()[idx[firsts]] - 1]
+            kept4 = np.nonzero(
+                (area4 >= lo) & (area4 <= hi) & (area4 < parent8)
+            )[0]
+            nkeep4 = emit(lab4, top_k_c(kept4, area4, K2), K2, K)
+
+    return corners.tobytes(), areas_out.tobytes(), nkeep8, nkeep4
 
 
 def _collect_window_candidates(B, Wn, H, W, params, extract, K2=0):
@@ -307,40 +407,64 @@ def _get_thresh():
 
 
 def host_candidates(gray: np.ndarray, params) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Host-threshold path: adaptive-mean sweep + C CCL for a (B, H, W) batch.
+    """Host-threshold path: adaptive-mean sweep + union-find CCL, (B, H, W).
 
     Used by the ``"roi"`` mode (which never ships the frame) and the
     ``"host"`` mode.  The production path is the C integral-image kernel
     (_native/fastthresh.c): one integral image feeds every window size and
     the masks come out bit-packed for the packed CCL reader — ~4x faster
-    than the cv2.boxFilter sweep and without materializing (B, Wn, H, W)
+    than a cv2.boxFilter sweep and without materializing (B, Wn, H, W)
     masks.  Its integer compare is exactly the device threshold's f32 test
-    (see fastthresh.c); cv2.boxFilter (fallback) may differ on exact ties.
+    (see fastthresh.c).  Without a C toolchain, a numpy integral image
+    applies the IDENTICAL integer compare (no cv2 dependency, no float
+    tie divergence), so every candidate path agrees bit-for-bit.
     """
     B, H, W = gray.shape
     Wn = len(params.win_sizes)
     th = _get_thresh()
-    if th is not None and _get_ccl() is not None:
-        Wb = -(-W // 8)
-        packed = np.empty((B, Wn, H, Wb), np.uint8)
-        wins = tuple(int(w) for w in params.win_sizes)
+    Wb = -(-W // 8)
+    wins = tuple(int(w) for w in params.win_sizes)
+    packed = np.empty((B, Wn, H, Wb), np.uint8)
+    if th is not None:
         for b in range(B):
             buf = th.threshold_pack(
                 np.ascontiguousarray(gray[b]), H, W, wins,
                 float(params.thresh_const),
             )
             packed[b] = np.frombuffer(buf, np.uint8).reshape(Wn, H, Wb)
-        return quads_from_packed_masks(packed, H, W, params)
+    else:
+        for b in range(B):
+            packed[b] = _threshold_pack_numpy(gray[b], wins, params.thresh_const)
+    return quads_from_packed_masks(packed, H, W, params)
 
-    import cv2 as cv
 
-    fg = np.zeros((B, Wn, H, W), np.uint8)
-    for b in range(B):
-        g = gray[b]
-        for wi, win in enumerate(params.win_sizes):
-            mean = cv.boxFilter(g, cv.CV_32F, (win, win), borderType=cv.BORDER_REPLICATE)
-            fg[b, wi] = g.astype(np.float32) <= mean - params.thresh_const
-    return quads_from_masks(fg, params)
+def _threshold_pack_numpy(g: np.ndarray, wins, C) -> np.ndarray:
+    """numpy fallback for fastthresh.c — identical masks by construction.
+
+    One replicate-padded int32 integral image sweeps every window size;
+    the integral-C fast path uses the same exact integer compare
+    ``(g + C) * win^2 <= boxsum`` (see fastthresh.c for the equivalence
+    proof against the device program's float32 test).
+    """
+    H, W = g.shape
+    R = max(w // 2 for w in wins)
+    gp = np.pad(g, R, mode="edge").astype(np.int32)
+    ii = np.zeros((H + 2 * R + 1, W + 2 * R + 1), np.int32)
+    np.cumsum(np.cumsum(gp, axis=0), axis=1, out=ii[1:, 1:])
+    out = np.empty((len(wins), H, -(-W // 8)), np.uint8)
+    gi = g.astype(np.int32)
+    c_int = float(C).is_integer()
+    for wi, win in enumerate(wins):
+        r = win // 2
+        a, b = R - r, R + r + 1  # padded-coord offsets of the window box
+        s = (ii[b : b + H, b : b + W] - ii[a : a + H, b : b + W]
+             - ii[b : b + H, a : a + W] + ii[a : a + H, a : a + W])
+        if c_int:
+            fg = (gi + int(C)) * (win * win) <= s
+        else:
+            fg = gi.astype(np.float64) <= s.astype(np.float64) / (win * win) - C
+        out[wi] = np.packbits(fg, axis=1, bitorder="little")
+    return out
 
 
 _PIPELINE_CACHE: dict = {}
@@ -687,6 +811,9 @@ def _build_roi_detect(B, Q, HW, caps, n_bits, params, lm_iters, marker_size,
                 # chunks bound the live set to a few hundred MB (Ncap is a
                 # multiple of 64 by construction, ops/roi._round_up)
                 CH = 64 if T <= 128 else (32 if T <= 256 else 16)
+                target = int(os.environ.get("VICAN_TPU_ROI_CHUNK", 0))
+                while CH * 2 <= target and Ncap % (CH * 2) == 0:
+                    CH *= 2
                 nch = Ncap // CH
                 chunk = lambda a: a.reshape((nch, CH) + a.shape[1:])
                 ids, corners, ok = jax.lax.map(
@@ -759,16 +886,32 @@ def _build_pure_device(B, n_bits, params, lm_iters, marker_size, pnp_method):
     return run
 
 
+def _has_host_ccl() -> bool:
+    """The hybrid modes need a host component-labeler: the C kernel
+    (fastccl.c) or the bit-identical scipy.ndimage fallback."""
+    if _get_ccl() is not None:
+        return True
+    try:
+        import scipy.ndimage  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
 def _resolve_mode(pipeline_mode: str) -> str:
     mode = os.environ.get("VICAN_TPU_PERCEPTION_MODE", pipeline_mode)
     if mode == "auto":
-        return "roi" if _get_ccl() is not None else "pure"
+        return "roi" if _has_host_ccl() else "pure"
     if mode not in ("roi", "device", "host", "pure"):
         raise ValueError(f"unknown perception pipeline mode: {mode!r}")
-    if mode in ("roi", "device", "host") and _get_ccl() is None:
+    if mode in ("roi", "device", "host") and not _has_host_ccl():
         import warnings
 
-        warnings.warn("fastccl unavailable; falling back to the pure-device path")
+        warnings.warn(
+            "no host component labeler (fastccl/scipy); "
+            "falling back to the pure-device path"
+        )
         return "pure"
     return mode
 
