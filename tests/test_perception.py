@@ -349,6 +349,29 @@ class TestEndToEnd:
                 np.asarray(native[k]["pose"].pose()))
 
 
+def test_roi_chunk_override_detection_identical(rendered, monkeypatch):
+    """VICAN_TPU_ROI_CHUNK (wider lax.map chunks in the per-tier
+    refine/decode loop — a dispatch-latency knob for remote-tunnel hosts)
+    must never change detections."""
+    root, markers = rendered
+    ds = Dataset(root)
+    files = ds.im_data["filename"][:4]
+    cams_l = ds.im_data["cam"][:4]
+    kwargs = dict(
+        aruco="DICT_4X4_1000", marker_size=MARKER_SIZE,
+        corner_refine="CORNER_REFINE_APRILTAG", marker_ids=None,
+        flags="SOLVEPNP_IPPE_SQUARE", brightness=0, contrast=0,
+        batch_size=2, verbose=False,
+    )
+    base = estimate_pose_mp(files, cams_l, pipeline_mode="roi", **kwargs)
+    monkeypatch.setenv("VICAN_TPU_ROI_CHUNK", "512")
+    wide = estimate_pose_mp(files, cams_l, pipeline_mode="roi", **kwargs)
+    assert set(wide) == set(base)
+    assert len(base) > 0
+    for k in base:
+        np.testing.assert_array_equal(wide[k]["corners"], base[k]["corners"])
+
+
 class TestHostFallbackKernels:
     """The numpy/scipy stand-ins for fastthresh.c / fastccl.c are
     bit-identical to the C kernels (proof obligations documented in
