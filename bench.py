@@ -114,9 +114,49 @@ def accuracy(prob, pose_est):
     return float(np.mean(r)), float(np.mean(t))
 
 
+def _wait_for_backend(max_wait_s: float = 2400.0) -> None:
+    """Block until the accelerator backend initializes.
+
+    Killing a process mid-compile can wedge the axon tunnel for ~30 min
+    (even ``jax.devices()`` hangs or raises Unavailable; see CLAUDE.md) —
+    a transient condition that must not turn the round's bench artifact
+    into a crash.  Probe with exponential backoff, bounded."""
+    import subprocess
+
+    deadline = time.monotonic() + max_wait_s
+    first = True
+    while True:
+        # Probe in a SUBPROCESS: a wedged tunnel HANGS backend init rather
+        # than raising, and a hung in-process attempt pins the jax init
+        # lock forever — even after the tunnel recovers.  A fresh process
+        # per probe keeps this process's jax state untouched until the
+        # backend is known healthy.
+        try:
+            res = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                capture_output=True, timeout=120,
+            )
+            if res.returncode == 0:
+                return
+            why = (res.stderr or b"").decode(errors="replace").strip()[-120:]
+        except subprocess.TimeoutExpired:
+            why = "hang"
+        if first:
+            print(f"# backend unavailable ({why}); retrying until healthy",
+                  file=sys.stderr)
+            first = False
+        if time.monotonic() > deadline:
+            raise RuntimeError("accelerator backend unavailable after "
+                               f"{max_wait_s:.0f}s of retries: {why}")
+        # a hung probe gets SIGKILLed by the timeout, which the tunnel may
+        # itself count as a mid-setup kill — back off hard between probes
+        time.sleep(120.0 if why == "hang" else 30.0)
+
+
 def main():
     from vican_tpu.synthetic import make_problem_arrays
 
+    _wait_for_backend()
     prob = make_problem_arrays(**CONFIG)
 
     ours_s, all_runs, warm_s, ours_out = run_ours(prob)

