@@ -138,7 +138,14 @@ def _wait_for_backend(max_wait_s: float = 2400.0) -> None:
             )
             if res.returncode == 0:
                 return
-            why = (res.stderr or b"").decode(errors="replace").strip()[-120:]
+            err = (res.stderr or b"").decode(errors="replace").strip()
+            why = err[-120:]
+            # only the wedged-tunnel signatures are transient; a missing
+            # platform / import error / bad config never heals — fail fast
+            if not any(s in err for s in
+                       ("UNAVAILABLE", "Unavailable", "DEADLINE")):
+                raise RuntimeError(f"backend probe failed (non-transient): "
+                                   f"{why}")
         except subprocess.TimeoutExpired:
             why = "hang"
         if first:

@@ -9,13 +9,15 @@ at, in one of four pipeline modes (auto-selected; see
   sweep (C integral-image kernel, _native/fastthresh.c, bit-packed out;
   bit-identical numpy fallback without a C toolchain) and run-based
   union-find quad extraction (_native/fastccl.c; bit-identical
-  scipy.ndimage fallback) run on host; the valid candidates of each image
-  are clustered into shared fixed-size crop windows
-  (:mod:`vican_tpu.ops.roi`) and ONLY those crops upload.  Refine/decode sample the crops through exact one-hot matmuls
-  (MXU work instead of serialized gathers), and dedup/PnP return one
-  packed buffer.  Detections are bit-identical to the full-frame modes by
-  the ops/roi.py exactness contract (full-frame fallback when a site
-  exceeds the top tier).
+  scipy.ndimage fallback) run on host; ONLY the 32 px tile UNION of the
+  candidates' reach regions uploads (:mod:`vican_tpu.ops.roi` — no
+  window-overlap duplication, ~0.2 MB/img vs 0.9 full-frame at 720p; set
+  ``VICAN_TPU_ROI_UPLOAD=windows`` for the older shared-crop-window
+  transport).  The device scatters the tiles into a zero frame, and
+  refine/decode sample it through exact one-hot matmuls (MXU work instead
+  of serialized gathers); dedup/PnP return one packed buffer.  Detections
+  are bit-identical to the full-frame modes by the ops/roi.py exactness
+  contract (full-frame fallback when a site exceeds the top tier).
 - ``"device"``: the adaptive-threshold sweep (reference cam.py:147 with
   params at cam.py:132-135) runs ON DEVICE — the fused Pallas kernel on
   TPU, integral-image XLA elsewhere — and ships back only the OCCUPIED
@@ -190,32 +192,34 @@ def quads_from_masks(fg: np.ndarray, params) -> tuple[np.ndarray, np.ndarray, np
     """Union-find quad candidates from a (B, Wn, H, W) foreground batch.
 
     Returns ``(quads (B, Q, 4, 2) float32, valid (B, Q) bool, areas)`` with
-    ``Q = Wn * max_candidates``; quads are clockwise-wound and gated.
-    Production path is the C kernel (fastccl.c); without a C toolchain the
-    scipy.ndimage extractor below reproduces it bit-for-bit (incl. the
-    4-connected split candidates the packed2 entry point emits).
+    ``Q = Wn * (max_candidates + max_candidates_4conn)``; quads are
+    clockwise-wound and gated.  Production path is the C kernel
+    (fastccl.c, split-capable packed2 entry, fed bit-packed rows); without
+    a C toolchain the scipy.ndimage extractor below reproduces it
+    bit-for-bit, 4-connected split candidates included — both branches
+    return the SAME slot layout and detections.
     """
     ccl = _get_ccl()
     B = fg.shape[0]
     H, W = fg.shape[2], fg.shape[3]
-    if ccl is None:
-        K2 = params.max_candidates_4conn
-        return _collect_window_candidates(
-            B, fg.shape[1], H, W, params,
-            lambda b, wi: _candidates_scipy(
-                fg[b, wi], params.max_candidates, K2,
-                params.min_area, params.max_area_rate * H * W,
-            ),
-            K2=K2,
-        )
-    return _collect_window_candidates(
-        B, fg.shape[1], H, W, params,
-        lambda b, wi: ccl.quad_candidates(
-            np.ascontiguousarray(fg[b, wi], dtype=np.uint8), H, W,
-            params.max_candidates, params.min_area,
-            params.max_area_rate * H * W,
-        ),
-    )
+    K2 = params.max_candidates_4conn
+    max_area = params.max_area_rate * H * W
+    if ccl is not None and hasattr(ccl, "quad_candidates_packed2"):
+        Wb = -(-W // 8)
+
+        def extract(b, wi):
+            packed = np.packbits(fg[b, wi], axis=-1, bitorder="little")
+            return ccl.quad_candidates_packed2(
+                np.ascontiguousarray(packed), H, W, Wb,
+                params.max_candidates, K2, params.min_area, max_area)
+
+    else:
+        def extract(b, wi):
+            return _candidates_scipy(fg[b, wi], params.max_candidates, K2,
+                                     params.min_area, max_area)
+
+    return _collect_window_candidates(B, fg.shape[1], H, W, params, extract,
+                                      K2=K2)
 
 
 def _candidates_scipy(fg: np.ndarray, K: int, K2: int, min_area, max_area):
@@ -922,19 +926,20 @@ def _build_roi_detect(B, Q, HW, caps, n_bits, params, lm_iters, marker_size,
                 # one-program-per-candidate-count compile storm (minutes
                 # per program through a remote-compile tunnel) into a
                 # single compile per rig, with skipped padding chunks
-                # costing nothing.  Chunk 0 runs unconditionally (dtype
-                # seed for the accumulators); untouched chunk slots stay
-                # zeros, whose meta columns are trash-slotted and invalid
-                # by construction (ops/roi padding convention).
+                # (and entirely-absent tiers) costing nothing.  Untouched
+                # chunk slots stay zeros, whose meta columns are
+                # trash-slotted and invalid by construction (ops/roi
+                # padding convention).
                 CH = _tier_chunk(T, Ncap)
                 nch = Ncap // CH
                 chunk = lambda a: a.reshape((nch, CH) + a.shape[1:])
                 cg, cv, cc, co = (chunk(gquad), chunk(validc),
                                   chunk(crop_of), chunk(origin))
-                first = jax.vmap(per_cand)(cg[0], cv[0], cc[0], co[0])
+                avals = jax.eval_shape(
+                    jax.vmap(per_cand), cg[0], cv[0], cc[0], co[0]
+                )
                 acc0 = tuple(
-                    jnp.zeros((nch,) + f.shape, f.dtype).at[0].set(f)
-                    for f in first
+                    jnp.zeros((nch,) + a.shape, a.dtype) for a in avals
                 )
 
                 def body(i, acc):
@@ -950,7 +955,7 @@ def _build_roi_detect(B, Q, HW, caps, n_bits, params, lm_iters, marker_size,
                     )
 
                 ids, corners, ok = lax.fori_loop(
-                    1, jnp.maximum(nch_used[ti], 1), body, acc0
+                    0, nch_used[ti], body, acc0
                 )
                 ids = ids.reshape(Ncap)
                 corners = corners.reshape(Ncap, 4, 2)
