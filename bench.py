@@ -155,9 +155,11 @@ def _wait_for_backend(max_wait_s: float = 2400.0) -> None:
         if time.monotonic() > deadline:
             raise RuntimeError("accelerator backend unavailable after "
                                f"{max_wait_s:.0f}s of retries: {why}")
-        # a hung probe gets SIGKILLed by the timeout, which the tunnel may
-        # itself count as a mid-setup kill — back off hard between probes
-        time.sleep(120.0 if why == "hang" else 30.0)
+        # a hung probe gets SIGKILLed by the timeout, which the tunnel can
+        # count as ANOTHER mid-setup kill that refreshes the wedge
+        # (observed: a 30-min wedge stretched past 2 h under ~25-min
+        # probing) — back off very hard between hang probes
+        time.sleep(600.0 if why == "hang" else 30.0)
 
 
 def main():

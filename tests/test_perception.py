@@ -242,30 +242,39 @@ class TestEndToEnd:
                 os.environ.pop("VICAN_TPU_ROI_UPLOAD", None)
 
     def test_oblique_merged_markers_recovered(self, tmp_path):
-        """Extreme-oblique adjacent markers whose border rings merge into
-        ONE 8-connected component (via diagonal aliasing strands) are
-        recovered through the 4-connected SPLIT candidate source
-        (VERDICT r3 item 3; cv2 recovers these through the AprilTag quad
-        detector's 4-connected union-find).  Frame 18 of the perception
-        bench scene: markers 16 and 18 at ~80 deg off-frontal."""
+        """Extreme-oblique regimes where cv2 escapes via the AprilTag quad
+        detector: (a) adjacent markers whose border rings merge into ONE
+        8-connected component through diagonal aliasing strands, recovered
+        by the 4-connected SPLIT candidate source (VERDICT r3 item 3);
+        (b) markers so oblique that the long SIDE exceeds the diagonal and
+        the farthest-point corners collapse, recovered by the max-area
+        hull-quad re-fit (_refit_degenerate_quad).  Frames 18 (markers
+        16/18 at ~80 deg) and 33 (marker 3, the last-but-one
+        `only_reference` detection of the round-3 bench) of the perception
+        bench scene."""
         import os as _os
 
         from vican_tpu.synthetic import render_cube_scene
 
         root = str(tmp_path / "oblique")
         cams, traj = render_cube_scene(
-            root, [(2.2, 0.3, 1.2)], 19, seed=4, res=(1280, 720)
+            root, [(2.2, 0.3, 1.2)], 34, seed=4, res=(1280, 720)
         )
-        fn = _os.path.join(root, "18", "0.jpg")
-        out = estimate_pose_mp(
-            [fn], [cams["0"]], aruco="DICT_4X4_1000", marker_size=0.48 * 0.575,
+        kwargs = dict(
+            aruco="DICT_4X4_1000", marker_size=0.48 * 0.575,
             corner_refine="CORNER_REFINE_APRILTAG",
             marker_ids=[str(i) for i in range(24)],
             flags="SOLVEPNP_IPPE_SQUARE", brightness=0, contrast=0,
             batch_size=1, verbose=False,
         )
+        out = estimate_pose_mp(
+            [_os.path.join(root, "18", "0.jpg")], [cams["0"]], **kwargs)
         ids = {k[1].split("_")[1] for k in out}
         assert {"16", "18"} <= ids, ids
+        out = estimate_pose_mp(
+            [_os.path.join(root, "33", "0.jpg")], [cams["0"]], **kwargs)
+        ids = {k[1].split("_")[1] for k in out}
+        assert "3" in ids, ids
 
     def test_roi_fallback_on_oversized_site(self, tmp_path):
         """A site bigger than the top tier falls back to the full-frame
@@ -601,9 +610,13 @@ class TestHostFallbackKernels:
         pure = estimate_pose_mp(ds.im_data["filename"], ds.im_data["cam"],
                                 pipeline_mode="pure", **kwargs)
         assert len(dev) >= 8
-        assert set(pure) == set(dev), (
-            sorted(set(dev) - set(pure)), sorted(set(pure) - set(dev)))
-        for k in dev:
+        # The hybrid modes may additionally recover extreme-oblique
+        # degenerate-quad candidates through the host-side hull re-fit
+        # (_refit_degenerate_quad), which the all-on-device pure mode does
+        # not mirror — pure must find everything else the device mode does.
+        assert set(pure) <= set(dev), sorted(set(pure) - set(dev))
+        assert len(set(dev) - set(pure)) <= 2, sorted(set(dev) - set(pure))
+        for k in pure:
             assert np.allclose(pure[k]["corners"], dev[k]["corners"], atol=0.5)
 
     def test_estimate_pose_worker_single_image(self, rendered):

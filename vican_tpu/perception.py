@@ -182,6 +182,114 @@ def _quad_gates(quads: np.ndarray, areas: np.ndarray, H: int, W: int, params) ->
     )
 
 
+def _convex_hull(pts: np.ndarray) -> np.ndarray:
+    """Andrew monotone chain over integer points sorted lexicographically
+    by (x, y) (exact integer cross products; collinear points dropped)."""
+    def half(points):
+        out: list = []
+        for px, py in points:
+            while len(out) >= 2:
+                ax, ay = out[-2]
+                bx, by = out[-1]
+                if (bx - ax) * (py - ay) - (by - ay) * (px - ax) <= 0:
+                    out.pop()
+                else:
+                    break
+            out.append((px, py))
+        return out
+
+    if len(pts) <= 2:
+        return pts
+    plist = [(int(x), int(y)) for x, y in pts]  # python ints: ~4x faster loop
+    lower = half(plist)
+    upper = half(plist[::-1])
+    return np.asarray(lower[:-1] + upper[:-1])
+
+
+def _max_area_quad(hull: np.ndarray) -> np.ndarray:
+    """Maximum-area quadrilateral with vertices on the convex hull: for
+    every vertex pair (a, b) take the farthest hull point on each side of
+    the a->b line (the max-area completion for that diagonal/edge), keep
+    the best.  O(h^2) over the (small) hull."""
+    h = len(hull)
+    best_area = -1.0
+    best = hull[[0, 0, 0, 0]] if h < 4 else None
+    for i in range(h - 1):
+        dx = hull[:, 0] - hull[i, 0]
+        dy = hull[:, 1] - hull[i, 1]
+        ex, ey = dx[i + 1:], dy[i + 1:]  # a->b vectors for every j > i
+        cr = dx[:, None] * ey[None, :] - dy[:, None] * ex[None, :]
+        up, dn = cr.argmax(0), cr.argmin(0)
+        cols = np.arange(cr.shape[1])
+        areas = np.abs(cr[up, cols]) + np.abs(cr[dn, cols])
+        jr = int(np.argmax(areas))
+        if areas[jr] > best_area:
+            best_area = float(areas[jr])
+            best = np.stack([hull[i], hull[up[jr]], hull[i + 1 + jr],
+                             hull[dn[jr]]])
+    return np.asarray(best, np.float64)
+
+
+def _refit_degenerate_quad(mask, quad, area, H, W):
+    """Re-fit a candidate whose farthest-point quad degenerated.
+
+    At extreme oblique view angles a marker's long SIDE exceeds its
+    diagonal, so "farthest from p1" lands on the adjacent long-side corner
+    instead of the diagonal one and two extracted corners collapse (the
+    min-edge gate then rejects the candidate outright).  OpenCV escapes
+    through the AprilTag quad detector's gradient clustering
+    (reference cam.py:147); the geometric equivalent here is the
+    MAXIMUM-AREA QUADRILATERAL ON THE COMPONENT'S CONVEX HULL, which
+    recovers the true corners to ~1 px on these shapes.  Shared by the C
+    and scipy extractor paths (operates downstream of both); the decode
+    stage remains the backstop, so a bad re-fit can never produce a false
+    id.  Returns the re-fit quad (float64 (4, 2)) or None.
+    """
+    from scipy import ndimage
+
+    x0, x1 = float(quad[:, 0].min()), float(quad[:, 0].max())
+    y0, y1 = float(quad[:, 1].min()), float(quad[:, 1].max())
+    margin = 32  # the expansion loop below widens if the component is clipped
+    for _expand in range(4):
+        ax0, ay0 = max(0, int(x0) - margin), max(0, int(y0) - margin)
+        ax1, ay1 = min(W, int(x1) + margin + 1), min(H, int(y1) + margin + 1)
+        crop = mask[ay0:ay1, ax0:ax1]
+        lab, _n = ndimage.label(crop, structure=np.ones((3, 3), np.int32))
+        cx, cy = int(quad[0, 0]) - ax0, int(quad[0, 1]) - ay0
+        if not (0 <= cy < lab.shape[0] and 0 <= cx < lab.shape[1]):
+            return None
+        lid = lab[cy, cx]
+        if lid == 0:
+            return None
+        sel = lab == lid
+        if int(sel.sum()) == int(area):
+            break  # full component inside the crop
+        # Widen ONLY when the component is clipped by a crop edge that is
+        # not also an image edge; any other area mismatch means the corner
+        # pixel landed in a different component — give up (rare).
+        clipped = ((ay0 > 0 and sel[0].any())
+                   or (ay1 < H and sel[-1].any())
+                   or (ax0 > 0 and sel[:, 0].any())
+                   or (ax1 < W and sel[:, -1].any()))
+        if not clipped:
+            return None
+        margin *= 2
+    else:
+        return None
+    ys, xs = np.nonzero(sel)  # row-major: ys sorted, xs ascending per row
+    rows, first = np.unique(ys, return_index=True)
+    last = np.r_[first[1:], ys.size] - 1
+    # hull vertices are per-row x-extremes; integer coords, global frame
+    pts = np.unique(np.concatenate([
+        np.stack([xs[first] + ax0, rows + ay0], 1),
+        np.stack([xs[last] + ax0, rows + ay0], 1),
+    ]), axis=0)
+    hull = _convex_hull(pts)
+    if len(hull) < 4:
+        return None
+    return _max_area_quad(hull.astype(np.float64))
+
+
 def _get_ccl():
     from ._native import get_fastccl
 
@@ -219,7 +327,7 @@ def quads_from_masks(fg: np.ndarray, params) -> tuple[np.ndarray, np.ndarray, np
                                      params.min_area, max_area)
 
     return _collect_window_candidates(B, fg.shape[1], H, W, params, extract,
-                                      K2=K2)
+                                      K2=K2, mask_of=lambda b, wi: fg[b, wi])
 
 
 def _candidates_scipy(fg: np.ndarray, K: int, K2: int, min_area, max_area):
@@ -310,12 +418,15 @@ def _candidates_scipy(fg: np.ndarray, K: int, K2: int, min_area, max_area):
     return corners.tobytes(), areas_out.tobytes(), nkeep8, nkeep4
 
 
-def _collect_window_candidates(B, Wn, H, W, params, extract, K2=0):
+def _collect_window_candidates(B, Wn, H, W, params, extract, K2=0,
+                               mask_of=None):
     """Shared tail of the C candidate extractors: collect per-(image,
     window) quads into fixed slots, enforce clockwise winding, apply the
     validity gates.  ``extract(b, wi) -> (corners_bytes, area_bytes, n)``
     or, with ``K2 > 0`` extra 4-conn split slots per window,
-    ``-> (corners_bytes, area_bytes, n8, n4)``."""
+    ``-> (corners_bytes, area_bytes, n8, n4)``.  ``mask_of(b, wi)`` (when
+    given) provides the window's foreground mask so gate-rejected
+    candidates can be re-fit (see :func:`_refit_degenerate_quad`)."""
     K = params.max_candidates
     Ks = K + K2
     quads = np.zeros((B, Wn * Ks, 4, 2), np.float32)
@@ -341,7 +452,36 @@ def _collect_window_candidates(B, Wn, H, W, params, extract, K2=0):
     flip = shoelace < 0
     quads[flip] = quads[flip][:, [0, 3, 2, 1]]
 
-    valid &= _quad_gates(quads, areas, H, W, params)
+    emitted = valid
+    valid = emitted & _quad_gates(quads, areas, H, W, params)
+
+    if mask_of is not None:
+        # Degenerate-extraction recovery: an extractor-emitted candidate
+        # that the shape gates reject may be an extreme-oblique marker
+        # whose farthest-point corners collapsed; re-fit the max-area
+        # hull quad and re-gate (decode is the backstop downstream).
+        # Trigger ONLY on the degeneracy signature — a collapsed corner
+        # pair (tiny edge) or a non-convex corner order — so ordinary
+        # fill-gate junk never pays the re-fit (scipy label on a crop).
+        edges_ = np.roll(quads, -1, axis=-2) - quads
+        elen_ = np.linalg.norm(edges_, axis=-1)
+        enx_ = np.roll(edges_, -1, axis=-2)
+        cr_ = edges_[..., 0] * enx_[..., 1] - edges_[..., 1] * enx_[..., 0]
+        degen = (elen_.min(-1) < 5.0) | ~((cr_ > 0).all(-1) | (cr_ < 0).all(-1))
+        for b, s in zip(*np.nonzero(emitted & ~valid & degen)):
+            wi = s // Ks
+            q2 = _refit_degenerate_quad(
+                mask_of(b, wi), quads[b, s], areas[b, s], H, W)
+            if q2 is None:
+                continue
+            sh = np.sum(q2[:, 0] * np.roll(q2[:, 1], -1)
+                        - np.roll(q2[:, 0], -1) * q2[:, 1])
+            if sh < 0:
+                q2 = q2[[0, 3, 2, 1]]
+            if _quad_gates(q2[None, None], areas[b, s][None, None],
+                           H, W, params)[0, 0]:
+                quads[b, s] = q2
+                valid[b, s] = True
     return quads, valid, areas
 
 
@@ -360,6 +500,11 @@ def quads_from_packed_masks(packed: np.ndarray, H: int, W: int, params):
 
     B, Wn, Hrows, Wb = packed.shape
     K2 = params.max_candidates_4conn
+
+    def mask_of(b, wi):  # unpacked lazily, only for gate-rejected re-fits
+        return np.unpackbits(
+            packed[b, wi, :H], axis=-1, bitorder="little")[:, :W]
+
     if K2 > 0 and hasattr(ccl, "quad_candidates_packed2"):
         return _collect_window_candidates(
             B, Wn, H, W, params,
@@ -369,6 +514,7 @@ def quads_from_packed_masks(packed: np.ndarray, H: int, W: int, params):
                 params.max_area_rate * H * W,
             ),
             K2=K2,
+            mask_of=mask_of,
         )
     return _collect_window_candidates(
         B, Wn, H, W, params,
@@ -377,6 +523,7 @@ def quads_from_packed_masks(packed: np.ndarray, H: int, W: int, params):
             params.max_candidates, params.min_area,
             params.max_area_rate * H * W,
         ),
+        mask_of=mask_of,
     )
 
 
