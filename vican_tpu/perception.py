@@ -1608,7 +1608,7 @@ def estimate_pose_batched(
     from concurrent.futures import ThreadPoolExecutor
 
     starts = list(range(0, len(im_filenames), B))
-    DEPTH = 2
+    DEPTH = int(os.environ.get("VICAN_TPU_PIPELINE_DEPTH", 0) or 2)
     pending_d = None  # detection dispatched, fetch pending
     with ThreadPoolExecutor(max_workers=1) as ex:
         futs = deque(
