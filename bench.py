@@ -114,7 +114,7 @@ def accuracy(prob, pose_est):
     return float(np.mean(r)), float(np.mean(t))
 
 
-def _wait_for_backend(max_wait_s: float = 2400.0) -> None:
+def _wait_for_backend(max_wait_s: float = 5400.0) -> None:
     """Block until the accelerator backend initializes.
 
     Killing a process mid-compile can wedge the axon tunnel for ~30 min
@@ -156,10 +156,11 @@ def _wait_for_backend(max_wait_s: float = 2400.0) -> None:
             raise RuntimeError("accelerator backend unavailable after "
                                f"{max_wait_s:.0f}s of retries: {why}")
         # a hung probe gets SIGKILLed by the timeout, which the tunnel can
-        # count as ANOTHER mid-setup kill that refreshes the wedge
+        # count as ANOTHER mid-setup kill that REFRESHES the ~30-min wedge
         # (observed: a 30-min wedge stretched past 2 h under ~25-min
-        # probing) — back off very hard between hang probes
-        time.sleep(600.0 if why == "hang" else 30.0)
+        # probing) — the hang backoff must EXCEED the wedge window so the
+        # next probe lands after expiry
+        time.sleep(1800.0 if why == "hang" else 30.0)
 
 
 def main():

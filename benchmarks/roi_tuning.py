@@ -9,7 +9,6 @@ alters the compiled program pays its cold compile during rep 0 (warmup).
 Prints one line per config: median img/s over the interleaved reps.
 """
 import argparse
-import importlib
 import json
 import os
 import sys

@@ -230,7 +230,7 @@ def _max_area_quad(hull: np.ndarray) -> np.ndarray:
     return np.asarray(best, np.float64)
 
 
-def _refit_degenerate_quad(mask, quad, area, H, W):
+def _refit_degenerate_quad(mask, quad, area, H, W, conn4=False):
     """Re-fit a candidate whose farthest-point quad degenerated.
 
     At extreme oblique view angles a marker's long SIDE exceeds its
@@ -254,7 +254,11 @@ def _refit_degenerate_quad(mask, quad, area, H, W):
         ax0, ay0 = max(0, int(x0) - margin), max(0, int(y0) - margin)
         ax1, ay1 = min(W, int(x1) + margin + 1), min(H, int(y1) + margin + 1)
         crop = mask[ay0:ay1, ax0:ax1]
-        lab, _n = ndimage.label(crop, structure=np.ones((3, 3), np.int32))
+        # connectivity must match the slot class, or the area check can
+        # never pass: split slots carry 4-connected sub-components whose
+        # area is a strict subset of their 8-connected parent
+        structure = None if conn4 else np.ones((3, 3), np.int32)
+        lab, _n = ndimage.label(crop, structure=structure)
         cx, cy = int(quad[0, 0]) - ax0, int(quad[0, 1]) - ay0
         if not (0 <= cy < lab.shape[0] and 0 <= cx < lab.shape[1]):
             return None
@@ -468,10 +472,14 @@ def _collect_window_candidates(B, Wn, H, W, params, extract, K2=0,
         enx_ = np.roll(edges_, -1, axis=-2)
         cr_ = edges_[..., 0] * enx_[..., 1] - edges_[..., 1] * enx_[..., 0]
         degen = (elen_.min(-1) < 5.0) | ~((cr_ > 0).all(-1) | (cr_ < 0).all(-1))
+        masks: dict = {}  # several rejects often share a window: unpack once
         for b, s in zip(*np.nonzero(emitted & ~valid & degen)):
             wi = s // Ks
+            if (b, wi) not in masks:
+                masks[(b, wi)] = mask_of(b, wi)
             q2 = _refit_degenerate_quad(
-                mask_of(b, wi), quads[b, s], areas[b, s], H, W)
+                masks[(b, wi)], quads[b, s], areas[b, s], H, W,
+                conn4=(s % Ks) >= K)  # split slots hold 4-conn components
             if q2 is None:
                 continue
             sh = np.sum(q2[:, 0] * np.roll(q2[:, 1], -1)
@@ -1608,7 +1616,9 @@ def estimate_pose_batched(
     from concurrent.futures import ThreadPoolExecutor
 
     starts = list(range(0, len(im_filenames), B))
-    DEPTH = int(os.environ.get("VICAN_TPU_PIPELINE_DEPTH", 0) or 2)
+    # 0/unset -> default 2; clamped to >= 1 (0 or negative depths would
+    # crash or misorder the pipeline loop below)
+    DEPTH = max(1, int(os.environ.get("VICAN_TPU_PIPELINE_DEPTH") or 2) or 2)
     pending_d = None  # detection dispatched, fetch pending
     with ThreadPoolExecutor(max_workers=1) as ex:
         futs = deque(
