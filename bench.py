@@ -166,7 +166,20 @@ def _wait_for_backend(max_wait_s: float = 5400.0) -> None:
 def main():
     from vican_tpu.synthetic import make_problem_arrays
 
-    _wait_for_backend()
+    try:
+        _wait_for_backend()
+    except RuntimeError as e:
+        # the driver contract is ONE JSON line — emit an honest degraded
+        # artifact instead of a stack trace when the tunnel never recovers
+        print(json.dumps({
+            "metric": "large_shop_synth se3sync wall-clock "
+                      "(100 cams, 10k timesteps, 120k edges)",
+            "value": None,
+            "unit": "s",
+            "vs_baseline": None,
+            "details": {"error": f"accelerator backend unavailable: {e}"},
+        }))
+        return
     prob = make_problem_arrays(**CONFIG)
 
     ours_s, all_runs, warm_s, ours_out = run_ours(prob)
