@@ -1,7 +1,9 @@
 """Sweep the roi-mode tuning knobs on the bench scene (real TPU).
 
 Knobs: VICAN_TPU_ROI_CHUNK (wider per-tier chunk loop iterations) and
-VICAN_TPU_PIPELINE_DEPTH (feed/drain batches in flight).  Configs are
+VICAN_TPU_PIPELINE_DEPTH (feed/drain batches in flight).
+VICAN_TPU_ROI_TILE is read once at import (ops/roi.TILE) — sweep it by
+re-running this script with the env var set.  Configs are
 INTERLEAVED across reps (host CPU speed drifts minute-to-minute on this
 machine — same rule as perception_bench.py), and every config change that
 alters the compiled program pays its cold compile during rep 0 (warmup).

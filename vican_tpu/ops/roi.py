@@ -31,6 +31,8 @@ behavioral surface.
 """
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 __all__ = ["RoiBatch", "TileBatch", "cluster_rois", "build_roi_batch",
@@ -248,7 +250,12 @@ def build_crop_meta(quads: np.ndarray, valid: np.ndarray, areas: np.ndarray,
                        bidx, qidx, tier_of, ox, oy)
 
 
-TILE = 32  # tile-union upload granularity (px)
+# Tile-union upload granularity (px).  Smaller tiles hug the candidate
+# regions tighter (less upload) at the cost of more scatter rows; the
+# payload minor dim TILE*TILE must stay >= 128 (axon tunnel tiled-layout
+# padding, CLAUDE.md) — so 16 is the practical floor.  Read once at
+# import; env knob for the tuning sweep (benchmarks/roi_tuning.py).
+TILE = max(16, int(os.environ.get("VICAN_TPU_ROI_TILE", 0) or 32))
 
 
 class TileBatch:
