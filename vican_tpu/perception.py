@@ -981,8 +981,11 @@ def _tier_chunk(T: int, Ncap: int) -> int:
     ``VICAN_TPU_ROI_CHUNK`` widens chunks (fewer loop iterations — a
     latency knob for remote-tunnel hosts) while preserving divisibility."""
     CH = 64 if T <= 128 else (32 if T <= 256 else 16)
-    target = _roi_chunk_target()
-    while CH * 2 <= target and Ncap % (CH * 2) == 0:
+    # the knob may widen up to 4x the tier default (the per-chunk one-hot
+    # live set scales with CH * T^2 — unbounded widening at the big tiers
+    # would blow HBM), subject to divisibility
+    limit = min(_roi_chunk_target(), 4 * CH)
+    while CH * 2 <= limit and Ncap % (CH * 2) == 0:
         CH *= 2
     return CH
 
