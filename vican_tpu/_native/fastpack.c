@@ -120,7 +120,7 @@ static PyObject *pack_edges2(PyObject *self, PyObject *args) {
                                 "edge-filter callables must not mutate it)");
                 goto fail;
             }
-            PyObject *keep = PyObject_CallFunctionObjArgs(edge_filter, value, NULL);
+            PyObject *keep = PyObject_CallOneArg(edge_filter, value);
             if (keep == NULL) goto fail;
             int truth = PyObject_IsTrue(keep);
             Py_DECREF(keep);
@@ -145,12 +145,12 @@ static PyObject *pack_edges2(PyObject *self, PyObject *args) {
             }
 
             /* noise-model callables */
-            PyObject *kr_obj = PyObject_CallFunctionObjArgs(noise_r, value, NULL);
+            PyObject *kr_obj = PyObject_CallOneArg(noise_r, value);
             if (kr_obj == NULL) { Py_DECREF(t); goto fail; }
             double kr = PyFloat_AsDouble(kr_obj);
             Py_DECREF(kr_obj);
             if (kr == -1.0 && PyErr_Occurred()) { Py_DECREF(t); goto fail; }
-            PyObject *kt_obj = PyObject_CallFunctionObjArgs(noise_t, value, NULL);
+            PyObject *kt_obj = PyObject_CallOneArg(noise_t, value);
             if (kt_obj == NULL) { Py_DECREF(t); goto fail; }
             double kt = PyFloat_AsDouble(kt_obj);
             Py_DECREF(kt_obj);
