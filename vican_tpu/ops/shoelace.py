@@ -23,6 +23,17 @@ def polygon_area(corners):
     if type(corners).__module__.startswith("jax"):
         import jax.numpy as xp  # noqa: F811
 
+    if xp is np:
+        c = np.asarray(corners)
+        if c.shape == (4, 2):
+            # scalar fast path for the per-edge noise-model call pattern:
+            # ~20x less overhead than the 8 tiny-array numpy ops below
+            # (measured 26 -> ~1.3 us/call; reference parity — its shapely
+            # .area call sits in the same per-edge Python loop)
+            (x0, y0), (x1, y1), (x2, y2), (x3, y3) = c.tolist()
+            return 0.5 * abs(x0 * y1 - x1 * y0 + x1 * y2 - x2 * y1
+                             + x2 * y3 - x3 * y2 + x3 * y0 - x0 * y3)
+
     corners = xp.asarray(corners)
     x = corners[..., 0]
     y = corners[..., 1]
