@@ -6,8 +6,11 @@ solved end-to-end through the public dict API (host packing included, like
 the reference pays for its Python dict loops).
 
 Baseline: the actual reference implementation (NumPy/SciPy, imported
-read-only from /root/reference) on the *same* edge dict, measured once on
-this machine and cached in benchmarks/baseline_cache.json.
+read-only from /root/reference) on the *same* edge dict, measured IN THE
+SAME SESSION interleaved with our runs (host CPU speed drifts 2-3x
+minute-to-minute on this machine, so a cached cross-session baseline is
+unfair in both directions).  benchmarks/baseline_cache.json keeps the
+last-known baseline only for hosts where the reference is absent.
 
 Prints ONE JSON line:
   {"metric": ..., "value": <our wall-clock seconds>, "unit": "s",
@@ -46,7 +49,7 @@ FILT = lambda e: e["reprojected_err"] < 0.05
 MAXITER = 4
 
 
-def run_ours(prob):
+def make_ours_runner(prob):
     from vican_tpu import bipgo
 
     def once():
@@ -59,16 +62,16 @@ def run_ours(prob):
         )
         return time.perf_counter() - t0, out
 
-    _warm, out = once()  # compile + cache shapes
-    times = []
-    for _ in range(7):  # median-of-7: robust to multi-second tunnel hiccups
-        t, out = once()
-        times.append(t)
-    times.sort()
-    return times[len(times) // 2], times, _warm, out
+    return once
 
 
-def run_reference(prob):
+def make_reference_runner(prob):
+    """Per-run closure for the actual reference solver (NumPy/SciPy).
+
+    Returns None if the reference checkout is absent.  The edge-dict
+    conversion to the reference's SE3 type happens once, outside timing."""
+    if not os.path.isdir(os.path.join(REFERENCE, "vican")):
+        return None
     sys.path.insert(0, REFERENCE)
     import vican.bipgo as ref_bipgo
     from vican.geometry import SE3 as RefSE3
@@ -88,18 +91,17 @@ def run_reference(prob):
     }
     import contextlib, io
 
-    times = []
-    for _ in range(3):  # median-of-3: robust baseline (VERDICT weak #6)
+    def once():
         t0 = time.perf_counter()
         with contextlib.redirect_stdout(io.StringIO()), contextlib.redirect_stderr(io.StringIO()):
-            out = ref_bipgo.bipartite_se3sync(
+            ref_bipgo.bipartite_se3sync(
                 edges, constraints=constraints,
                 noise_model_r=NOISE_R, noise_model_t=NOISE_T, edge_filter=FILT,
                 maxiter=MAXITER, lsqr_solver="conjugate_gradient", dtype=np.float32,
             )
-        times.append(time.perf_counter() - t0)
-    times.sort()
-    return times[1], out
+        return time.perf_counter() - t0
+
+    return once
 
 
 def accuracy(prob, pose_est):
@@ -182,29 +184,59 @@ def main():
         return
     prob = make_problem_arrays(**CONFIG)
 
-    ours_s, all_runs, warm_s, ours_out = run_ours(prob)
+    ours_once = make_ours_runner(prob)
+    warm_s, ours_out = ours_once()  # compile + cache shapes
     r_err, t_err = accuracy(prob, ours_out)
+
+    # INTERLEAVE reference and our runs in the SAME session: host CPU speed
+    # drifts minute-to-minute on this machine (2-3x observed; see CLAUDE.md
+    # and the perception bench's round-robin reps) and the tunnel adds its
+    # own jitter, so a baseline cached from another session is not a fair
+    # denominator in either direction.  3 reference runs ride between our
+    # 7 runs; median of each.
+    ref_once = None
+    try:
+        ref_once = make_reference_runner(prob)
+    except Exception as e:  # baseline failure must not kill the bench
+        print(f"# baseline setup failed: {e!r}", file=sys.stderr)
+    our_times, ref_times = [], []
+    for k in range(3):
+        if ref_once is not None:
+            try:
+                ref_times.append(ref_once())
+            except Exception as e:
+                print(f"# baseline run failed: {e!r}", file=sys.stderr)
+                ref_once = None
+        for _ in range(2):
+            t, ours_out = ours_once()
+            our_times.append(t)
+    t, ours_out = ours_once()
+    our_times.append(t)
+    our_times.sort()
+    ref_times.sort()
+    ours_s = our_times[len(our_times) // 2]
 
     cache = {}
     if os.path.isfile(CACHE_PATH):
         with open(CACHE_PATH) as f:
             cache = json.load(f)
-    baseline_s = cache.get(CONFIG_KEY)
-    if baseline_s is None and os.path.isdir(os.path.join(REFERENCE, "vican")):
-        try:
-            baseline_s, _ref_out = run_reference(prob)
-            cache[CONFIG_KEY] = baseline_s
-            os.makedirs(os.path.dirname(CACHE_PATH), exist_ok=True)
-            with open(CACHE_PATH, "w") as f:
-                json.dump(cache, f, indent=1)
-        except Exception as e:  # baseline failure must not kill the bench
-            print(f"# baseline measurement failed: {e!r}", file=sys.stderr)
+    baseline_cached = cache.get(CONFIG_KEY)
+    if ref_times:
+        baseline_s = ref_times[len(ref_times) // 2]
+        cache[CONFIG_KEY] = baseline_s  # last-known, for reference-less hosts
+        os.makedirs(os.path.dirname(CACHE_PATH), exist_ok=True)
+        with open(CACHE_PATH, "w") as f:
+            json.dump(cache, f, indent=1)
+    else:
+        baseline_s = baseline_cached
 
     vs = (baseline_s / ours_s) if baseline_s else None
     details = {
         "first_call_s": round(warm_s, 2),
-        "runs_s_sorted": [round(t, 3) for t in all_runs],  # value = median of 7
+        "runs_s_sorted": [round(t, 3) for t in our_times],  # value = median
         "baseline_scipy_s": round(baseline_s, 2) if baseline_s else None,
+        "baseline_runs_s_sorted": [round(t, 2) for t in ref_times] or None,
+        "baseline_same_session": bool(ref_times),
         "rot_err_deg_mean": round(r_err, 5),
         "trans_err_m_mean": round(t_err, 6),
     }
