@@ -223,7 +223,10 @@ def main():
     baseline_cached = cache.get(CONFIG_KEY)
     if ref_times:
         baseline_s = ref_times[len(ref_times) // 2]
-        cache[CONFIG_KEY] = baseline_s  # last-known, for reference-less hosts
+        # Cache the MIN across sessions, not the last session: host CPU
+        # speed drifts 2-3x between sessions, and a slow-session baseline
+        # would inflate vs_baseline on reference-less hosts (ADVICE r4).
+        cache[CONFIG_KEY] = min(baseline_s, baseline_cached or baseline_s)
         os.makedirs(os.path.dirname(CACHE_PATH), exist_ok=True)
         with open(CACHE_PATH, "w") as f:
             json.dump(cache, f, indent=1)

@@ -157,3 +157,166 @@ def test_f64_host_cap_env(prob, monkeypatch):
     monkeypatch.setenv("VICAN_TPU_MAX_HOST_EDGES", "100")
     assert host_f64_enabled(100)
     assert not host_f64_enabled(101)
+
+
+# --- recognized-spec packing fast path (solver/specs.py + pack_edges3) ------
+
+
+class TestSpecs:
+    """The C packer evaluates recognized noise/filter forms inline; outputs
+    must be BIT-identical to calling the Python closures (VERDICT r4 item 7).
+    """
+
+    def _pack_both(self, prob, nm_r, nm_t, filt, monkeypatch):
+        """(fast-path result, forced-callable result) for the same inputs."""
+        from vican_tpu.solver import specs
+
+        p_fast = pack_problem(prob.edges, prob.constraints(), nm_r, nm_t,
+                              filt, dtype=np.float32)
+        # force the per-edge callable path by blinding recognition
+        monkeypatch.setattr(specs, "recognize_noise", lambda fn: None)
+        monkeypatch.setattr(specs, "recognize_filter", lambda fn: None)
+        p_call = pack_problem(prob.edges, prob.constraints(), nm_r, nm_t,
+                              filt, dtype=np.float32)
+        return p_fast, p_call
+
+    def _assert_identical(self, a, b):
+        assert a.num_edges == b.num_edges
+        np.testing.assert_array_equal(a.cam_idx, b.cam_idx)
+        np.testing.assert_array_equal(a.time_idx, b.time_idx)
+        np.testing.assert_array_equal(a.k_r, b.k_r)
+        np.testing.assert_array_equal(a.k_t, b.k_t)
+        np.testing.assert_array_equal(a.R_e, b.R_e)
+        np.testing.assert_array_equal(a.t_e, b.t_e)
+
+    def test_recognize_tutorial_closures(self):
+        from vican_tpu.ops.shoelace import polygon_area
+        from vican_tpu.solver.specs import recognize_filter, recognize_noise
+
+        assert recognize_noise(
+            lambda e: 0.01 * polygon_area(e["corners"]) ** 2
+        ) == ("area_pow", 0.01, 2.0)
+        assert recognize_noise(
+            lambda e: polygon_area(e["corners"]) ** 6.0
+        ) == ("area_pow", 1.0, 6.0)
+        assert recognize_noise(lambda e: 1.0) == ("const", 1.0)
+        assert recognize_filter(
+            lambda e: e["reprojected_err"] < 0.05
+        ) == ("reproj_lt", 0.05)
+        assert recognize_filter(lambda e: True) == ("true",)
+
+    def test_recognize_declarative_specs(self):
+        from vican_tpu.solver.specs import (ConstNoise, CornerAreaPower,
+                                            KeepAll, ReprojErrBelow,
+                                            recognize_filter, recognize_noise)
+
+        assert recognize_noise(ConstNoise(3.5)) == ("const", 3.5)
+        assert recognize_noise(CornerAreaPower(0.001, 2)) == ("area_pow", 0.001, 2.0)
+        assert recognize_filter(ReprojErrBelow(0.1)) == ("reproj_lt", 0.1)
+        assert recognize_filter(KeepAll()) == ("true",)
+
+    def test_recognition_is_conservative(self):
+        """Anything not PROVABLY the canonical form must return None."""
+        from vican_tpu.ops.shoelace import polygon_area
+        from vican_tpu.solver.specs import recognize_filter, recognize_noise
+
+        power = 6.0  # free variable, not a constant
+        assert recognize_noise(
+            lambda e: 0.001 * polygon_area(e["corners"]) ** power) is None
+
+        def stateful(e):
+            stateful.n += 1
+            return 1.0
+
+        stateful.n = 0
+        assert recognize_noise(stateful) is None
+        assert recognize_noise(lambda e: 2.0 * e["reprojected_err"]) is None
+        assert recognize_filter(lambda e: e["reprojected_err"] > 0.05) is None
+        assert recognize_noise(lambda e: 0.01 * polygon_area(e["other"]) ** 2) is None
+
+        # a SHADOWED polygon_area must break the area_pow match
+        ns = {"polygon_area": lambda c: 42.0}
+        fn = eval('lambda e: 0.01 * polygon_area(e["corners"]) ** 2', ns)
+        assert recognize_noise(fn) is None
+
+    def test_fastpath_bit_identical_tutorial_forms(self, prob, monkeypatch):
+        from vican_tpu.ops.shoelace import polygon_area
+
+        p_fast, p_call = self._pack_both(
+            prob,
+            lambda e: 0.001 * polygon_area(e["corners"]) ** 1.0,
+            lambda e: 0.001 * polygon_area(e["corners"]) ** 2.0,
+            lambda e: e["reprojected_err"] < 0.02,
+            monkeypatch,
+        )
+        assert p_fast.num_edges < len(prob.edges)  # the filter really fires
+        self._assert_identical(p_fast, p_call)
+
+    def test_fastpath_bit_identical_const_and_keepall(self, prob, monkeypatch):
+        from vican_tpu.solver.specs import ConstNoise, KeepAll
+
+        p_fast, p_call = self._pack_both(
+            prob, ConstNoise(1.0), lambda e: 2.5, KeepAll(), monkeypatch)
+        assert p_fast.num_edges == len(prob.edges)
+        self._assert_identical(p_fast, p_call)
+        # constants survive packing up to the f32 weight normalization
+        np.testing.assert_array_equal(p_fast.k_t, p_fast.k_t[0])
+        np.testing.assert_array_equal(p_fast.k_r, p_fast.k_r[0])
+
+    def test_fastpath_f32_and_noncontig_corners(self, prob, monkeypatch):
+        """f32 corners widen exactly; non-contiguous / list corners take the
+        exact per-edge callable fallback — identical either way."""
+        from vican_tpu.ops.shoelace import polygon_area
+
+        edges = {}
+        for i, (k, v) in enumerate(prob.edges.items()):
+            v = dict(v)
+            c = np.asarray(v["corners"])
+            if i % 3 == 0:
+                v["corners"] = c.astype(np.float32)
+            elif i % 3 == 1:
+                v["corners"] = np.asfortranarray(c)  # not C-contiguous
+            else:
+                v["corners"] = c.tolist()
+            edges[k] = v
+        prob2 = type(prob)(prob.cams_gt, prob.obj_gt, prob.markers_gt, edges)
+        p_fast, p_call = self._pack_both(
+            prob2,
+            lambda e: 0.01 * polygon_area(e["corners"]) ** 2,
+            lambda e: 1.0,
+            lambda e: True,
+            monkeypatch,
+        )
+        self._assert_identical(p_fast, p_call)
+
+    def test_fastpath_np32_reproj_err_fallback(self, prob, monkeypatch):
+        """np.float32 reprojected_err compares under NEP-50 f32 semantics in
+        the closure; the packer must fall back per-edge, not inline in f64."""
+        tau = 0.7
+        tau32 = float(np.float32(tau))  # < tau (rounds down)
+        edges = {}
+        for i, (k, v) in enumerate(prob.edges.items()):
+            v = dict(v)
+            v["reprojected_err"] = np.float32(tau32 if i % 2 else 0.001)
+            edges[k] = v
+        prob2 = type(prob)(prob.cams_gt, prob.obj_gt, prob.markers_gt, edges)
+        filt = lambda e: e["reprojected_err"] < tau
+        # the closure drops the tau32 edges (f32 compare: tau casts DOWN to
+        # tau32, tau32 < tau32 is False) even though tau32 < tau in double
+        assert not filt(edges[list(edges)[1]])
+        p_fast, p_call = self._pack_both(
+            prob2, lambda e: 1.0, lambda e: 1.0, filt, monkeypatch)
+        assert p_fast.num_edges == p_call.num_edges == (len(edges) + 1) // 2
+        self._assert_identical(p_fast, p_call)
+
+    def test_fastpath_missing_key_raises_like_closure(self, prob):
+        edges = {}
+        for k, v in prob.edges.items():
+            v = dict(v)
+            del v["reprojected_err"]
+            edges[k] = v
+        with pytest.raises(KeyError):
+            pack_problem(edges, prob.constraints(), lambda e: 1.0,
+                         lambda e: 1.0,
+                         lambda e: e["reprojected_err"] < 0.05,
+                         dtype=np.float32)

@@ -610,12 +610,14 @@ class TestHostFallbackKernels:
         pure = estimate_pose_mp(ds.im_data["filename"], ds.im_data["cam"],
                                 pipeline_mode="pure", **kwargs)
         assert len(dev) >= 8
-        # The hybrid modes may additionally recover extreme-oblique
-        # degenerate-quad candidates through the host-side hull re-fit
-        # (_refit_degenerate_quad), which the all-on-device pure mode does
-        # not mirror — pure must find everything else the device mode does.
-        assert set(pure) <= set(dev), sorted(set(pure) - set(dev))
-        assert len(set(dev) - set(pure)) <= 2, sorted(set(dev) - set(pure))
+        # Detection identity across modes: the pure-device pipeline mirrors
+        # the host hull re-fit for degenerate-extraction candidates
+        # (ops.detect.refit_degenerate_quads), so it must find exactly the
+        # device mode's marker set; corners agree to subpixel (the re-fit
+        # quads differ by tie-breaking/row-subsampling before the shared
+        # gradient refinement snaps them to the same edges).
+        assert set(pure) == set(dev), (sorted(set(pure) - set(dev)),
+                                       sorted(set(dev) - set(pure)))
         for k in pure:
             assert np.allclose(pure[k]["corners"], dev[k]["corners"], atol=0.5)
 

@@ -98,8 +98,17 @@ def test_perception_mesh_matches_single(tmp_path):
     single = estimate_pose_mp(**kwargs)
     mesh = make_mesh()
     sharded = estimate_pose_mp(mesh=mesh, **kwargs)
+    # the mesh run must take the sharded tile transport, not a fallback
+    # (a silent reroute to the full-frame gather program would still pass
+    # the equality checks below — VERDICT r4 item 5)
+    from vican_tpu import perception
+
+    assert any(k[0] == "roitile_mesh" for k in perception._DOM_INDEX)
+    # detection-identical: same marker set, same corners (all stages are
+    # per-image independent, so sharding only changes the batch blocking)
     assert set(single.keys()) == set(sharded.keys())
     for k in single:
+        assert np.allclose(single[k]["corners"], sharded[k]["corners"], atol=1e-4)
         assert np.allclose(single[k]["pose"].t(), sharded[k]["pose"].t(), atol=1e-5)
 
 

@@ -27,6 +27,12 @@ def _build(name: str) -> str | None:
     # -march=native: the .so is built on the host that runs it (SIMD for the
     # integral-image sweep); flags are part of the cache tag
     flags = ["-O3", "-march=native"]
+    extra_includes = []
+    with open(src, "rb") as f:
+        if b"numpy/arrayobject.h" in f.read():
+            import numpy as np
+
+            extra_includes.append(np.get_include())
     with open(src, "rb") as f:
         tag = hashlib.sha256(f.read() + " ".join(flags).encode()).hexdigest()[:12]
     tag += f"_py{sys.version_info.major}{sys.version_info.minor}"
@@ -37,7 +43,8 @@ def _build(name: str) -> str | None:
         return so_path
     include = sysconfig.get_paths()["include"]
     cc = os.environ.get("CC", "gcc")
-    cmd = [cc, *flags, "-shared", "-fPIC", f"-I{include}", src, "-o", so_path + ".tmp"]
+    cmd = [cc, *flags, "-shared", "-fPIC", f"-I{include}",
+           *(f"-I{p}" for p in extra_includes), src, "-o", so_path + ".tmp"]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
     except Exception:

@@ -47,6 +47,7 @@ __all__ = [
     "adaptive_threshold",
     "connected_components",
     "extract_quads",
+    "refit_degenerate_quads",
     "refine_corners",
     "refine_corners_subpix",
     "refine_quad",
@@ -149,6 +150,13 @@ class DetectorParams(NamedTuple):
     roi_tiers: tuple = (64, 128, 192, 256, 320, 384)
     roi_margin: int = 8
     roi_matmul_sampling: bool | None = None
+    # Device-side mirror of the host hull re-fit for degenerate-extraction
+    # candidates (perception._refit_degenerate_quad): fixed re-fit slots per
+    # image and the per-row-extreme subsampling cap for the hull point set
+    # (exact when the component bbox is at most refit_rows tall).  Only the
+    # pure-device pipeline pays for this; hybrid modes re-fit on host.
+    max_refit_candidates: int = 6
+    refit_rows: int = 128
     subpix_win: int = 5  # cornerSubPix half-window (cv2 winSize=(5,5))
     subpix_iters: int = 50  # cornerRefinementMaxIterations (cam.py:133)
     subpix_acc: float = 0.05  # cornerRefinementMinAccuracy (cam.py:131)
@@ -314,7 +322,12 @@ def _top_k_labels(labels, K: int, H: int, W: int, max_area=None, min_area=None):
 class QuadCandidates(NamedTuple):
     corners: jnp.ndarray  # (K, 4, 2) float32 (x, y)
     valid: jnp.ndarray  # (K,) bool
-    area: jnp.ndarray  # (K,) float32
+    area: jnp.ndarray  # (K,) float32 quad area (dedup score)
+    # extra per-slot info consumed by the device-side degenerate re-fit
+    # (:func:`refit_degenerate_quads`); None when not requested
+    label: jnp.ndarray | None = None  # (K,) int32 component label
+    area_px: jnp.ndarray | None = None  # (K,) float32 component pixel area
+    refit: jnp.ndarray | None = None  # (K,) bool gate-rejected degenerate
 
 
 def extract_quads(labels, params: DetectorParams, top_labels=None,
@@ -399,14 +412,10 @@ def extract_quads(labels, params: DetectorParams, top_labels=None,
         outline = (
             area.astype(jnp.float32) >= jnp.maximum(edge_len.sum(), 1.0)
         ) & (quad_area >= min_hollow_side * min_hollow_side)
-        valid = (
+        emitted = (
             (label != BIG)
             & (area >= params.min_area)
             & (area <= params.max_area_rate * H * W)
-            & (edge_len.min() >= 5.0)
-            & inside
-            & convex
-            & ((fill > 0.2) | outline)
         )
         if parent_labels is not None:
             # split gate (exact): the 4-conn component must be a strict
@@ -414,11 +423,23 @@ def extract_quads(labels, params: DetectorParams, top_labels=None,
             # at the candidate's root pixel (labels are min pixel indices)
             par = parent_labels.reshape(-1)[jnp.clip(label, 0, H * W - 1)]
             area8 = jnp.sum(parent_labels.reshape(-1) == par)
-            valid = valid & (area < area8)
-        return quad, valid, quad_area
+            emitted = emitted & (area < area8)
+        valid = (
+            emitted
+            & (edge_len.min() >= 5.0)
+            & inside
+            & convex
+            & ((fill > 0.2) | outline)
+        )
+        # degeneracy signature (same trigger as the host re-fit in
+        # perception._collect_window_candidates): a collapsed corner pair
+        # or a non-convex corner order on an otherwise-emitted candidate
+        refit = emitted & ~valid & ((edge_len.min() < 5.0) | ~convex)
+        return quad, valid, quad_area, area.astype(jnp.float32), refit
 
-    corners, valid, area = jax.vmap(one)(top_labels)
-    return QuadCandidates(corners=corners, valid=valid, area=area)
+    corners, valid, area, area_px, refit = jax.vmap(one)(top_labels)
+    return QuadCandidates(corners=corners, valid=valid, area=area,
+                          label=top_labels, area_px=area_px, refit=refit)
 
 
 def extract_split_quads(labels8, labels4, params: DetectorParams) -> QuadCandidates:
@@ -451,6 +472,137 @@ def extract_split_quads(labels8, labels4, params: DetectorParams) -> QuadCandida
     _, top4 = lax.top_k(ranked, K2)
     return extract_quads(labels4, params, top_labels=top4.astype(jnp.int32),
                          parent_labels=labels8, k_slots=K2)
+
+
+def refit_degenerate_quads(cand, labels8, labels4, params: DetectorParams):
+    """Device mirror of the host hull re-fit (perception._refit_degenerate_quad).
+
+    At extreme oblique view angles a marker's long SIDE exceeds its
+    diagonal, so farthest-point extraction collapses two corners and the
+    shape gates reject the candidate.  The recovery — shared semantics with
+    the host path — is the MAXIMUM-AREA QUADRILATERAL over the component's
+    per-row x-extremes (a superset of its convex hull vertices: any hull
+    vertex not extreme in its row would be a convex combination of its row
+    neighbours).  Fixed shapes throughout: the ``params.max_refit_candidates``
+    largest gate-rejected-degenerate candidates are selected with ``top_k``
+    and re-fit by an ``O(m^2)``-per-diagonal scan over ``m = 2*refit_rows``
+    subsampled row-extreme points (exact when the component bbox is at most
+    ``refit_rows`` tall; taller components re-fit on a row subsample, which
+    the downstream gradient refinement absorbs).  The decode stage remains
+    the backstop, so a bad re-fit can never produce a false id.
+
+    ``cand``: merged per-window candidates with ``label``/``area_px``/
+    ``refit`` info (shape ``(Wn, Ks)`` slots, split slots at index >= K).
+    """
+    Wn, Ks = cand.valid.shape
+    H, W = labels8.shape[-2:]
+    K = params.max_candidates
+    R = params.max_refit_candidates
+    M = params.refit_rows
+    m = 2 * M
+
+    score = jnp.where(cand.refit.reshape(-1), cand.area_px.reshape(-1), -1.0)
+    _, sel = lax.top_k(score, R)
+    sel_ok = score[sel] > 0.0
+    lab_imgs = jnp.stack([labels8, labels4])  # (2, Wn, H, W)
+    xs_w = jnp.arange(W, dtype=jnp.int32)
+    ys_h = jnp.arange(H, dtype=jnp.int32)
+    flat_labels = cand.label.reshape(-1)
+    flat_area_px = cand.area_px.reshape(-1)
+    pidx = jnp.arange(m)
+
+    def one(slot, ok):
+        wi = slot // Ks
+        conn4 = ((slot % Ks) >= K).astype(jnp.int32)
+        limg = lab_imgs[conn4, wi]  # (H, W)
+        mask = limg == flat_labels[slot]
+        # per-row x-extremes of the component + its bbox rows
+        xmin = jnp.where(mask, xs_w[None, :], W).min(1)
+        xmax = jnp.where(mask, xs_w[None, :], -1).max(1)
+        rowv = mask.any(1)
+        y0 = jnp.where(rowv, ys_h, H).min()
+        y1 = jnp.where(rowv, ys_h, -1).max()
+        h = jnp.maximum(y1 - y0, 0)
+        ri = jnp.clip(y0 + (jnp.arange(M) * h) // max(M - 1, 1), 0, H - 1)
+        px = jnp.concatenate([xmin[ri], xmax[ri]]).astype(jnp.float32)
+        py = jnp.concatenate([ri, ri]).astype(jnp.float32)
+        pv = jnp.concatenate([rowv[ri], rowv[ri]]) & ok
+
+        def step(best, i):
+            # max-area completion for every diagonal/edge (i, j): the
+            # farthest point on each side of the i->j line (host
+            # _max_area_quad does the same over hull vertices)
+            dxk = px - px[i]
+            dyk = py - py[i]
+            cr = dxk[:, None] * dyk[None, :] - dyk[:, None] * dxk[None, :]
+            crm_up = jnp.where(pv[:, None], cr, -jnp.inf)
+            crm_dn = jnp.where(pv[:, None], cr, jnp.inf)
+            up_i = crm_up.argmax(0)
+            dn_i = crm_dn.argmin(0)
+            jmask = pv & (pidx != i) & pv[i]
+            areas = jnp.where(
+                jmask,
+                jnp.abs(crm_up.max(0)) + jnp.abs(crm_dn.min(0)),
+                -1.0,
+            )
+            j = jnp.argmax(areas)
+            quad = jnp.stack([
+                jnp.stack([px[i], py[i]]),
+                jnp.stack([px[up_i[j]], py[up_i[j]]]),
+                jnp.stack([px[j], py[j]]),
+                jnp.stack([px[dn_i[j]], py[dn_i[j]]]),
+            ])
+            best_area, best_quad = best
+            better = areas[j] > best_area
+            return (jnp.where(better, areas[j], best_area),
+                    jnp.where(better, quad, best_quad)), None
+
+        (_, quad), _ = lax.scan(
+            step, (jnp.float32(-1.0), jnp.zeros((4, 2), jnp.float32)), pidx
+        )
+
+        # clockwise winding + the same validity gates as extract_quads
+        x = quad[:, 0]
+        y = quad[:, 1]
+        shoelace = jnp.sum(x * jnp.roll(y, -1) - jnp.roll(x, -1) * y)
+        quad = jnp.where(shoelace < 0, quad[jnp.array([0, 3, 2, 1])], quad)
+        edges = jnp.roll(quad, -1, axis=0) - quad
+        edge_len = jnp.linalg.norm(edges, axis=1)
+        quad_area = 0.5 * jnp.abs(shoelace)
+        mg = params.border_margin
+        inside = (
+            (quad[:, 0] >= mg) & (quad[:, 0] <= W - 1 - mg)
+            & (quad[:, 1] >= mg) & (quad[:, 1] <= H - 1 - mg)
+        ).all()
+        e_next = jnp.roll(edges, -1, axis=0)
+        crosses = edges[:, 0] * e_next[:, 1] - edges[:, 1] * e_next[:, 0]
+        convex = (crosses > 0).all() | (crosses < 0).all()
+        area_px = flat_area_px[slot]
+        fill = area_px / jnp.maximum(quad_area, 1.0)
+        min_hollow_side = 4.0 * max(params.win_sizes)
+        outline = (
+            area_px >= jnp.maximum(edge_len.sum(), 1.0)
+        ) & (quad_area >= min_hollow_side * min_hollow_side)
+        valid_new = (
+            ok
+            & (edge_len.min() >= 5.0)
+            & inside
+            & convex
+            & ((fill > 0.2) | outline)
+        )
+        return quad, valid_new, quad_area
+
+    quads_new, valid_new, qarea_new = jax.vmap(one)(sel, sel_ok)
+    corners = cand.corners.reshape(-1, 4, 2)
+    valid = cand.valid.reshape(-1)
+    area = cand.area.reshape(-1)
+    corners = corners.at[sel].set(
+        jnp.where(valid_new[:, None, None], quads_new, corners[sel]))
+    area = area.at[sel].set(jnp.where(valid_new, qarea_new, area[sel]))
+    valid = valid.at[sel].set(valid[sel] | valid_new)
+    return cand._replace(corners=corners.reshape(Wn, Ks, 4, 2),
+                         valid=valid.reshape(Wn, Ks),
+                         area=area.reshape(Wn, Ks))
 
 
 class CropView(NamedTuple):
@@ -889,11 +1041,17 @@ def detect_markers(gray, table, n_bits: int, params: DetectorParams) -> Detectio
         cand4 = jax.vmap(
             lambda l8, l4: extract_split_quads(l8, l4, params)
         )(labels, labels4)
-        corners_w = jnp.concatenate([cand.corners, cand4.corners], axis=1)
-        valid_w = jnp.concatenate([cand.valid, cand4.valid], axis=1)
-        area_w = jnp.concatenate([cand.area, cand4.area], axis=1)
-        cand = QuadCandidates(corners=corners_w, valid=valid_w, area=area_w)
+        cand = QuadCandidates(*(
+            jnp.concatenate([a, b], axis=1)
+            for a, b in zip(cand, cand4)
+        ))
     Ks = K + K2 if K2 > 0 else K
+
+    if params.max_refit_candidates > 0:
+        # degenerate-extraction recovery, mirroring the hybrid modes' host
+        # hull re-fit (see refit_degenerate_quads; decode is the backstop)
+        l4 = labels4 if K2 > 0 else labels
+        cand = refit_degenerate_quads(cand, labels, l4, params)
 
     corners_flat = cand.corners.reshape(Wn * Ks, 4, 2)
     refined = jax.vmap(lambda q: refine_quad(gray, q, params))(corners_flat)

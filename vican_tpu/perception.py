@@ -1298,6 +1298,14 @@ def estimate_pose_batched(
 
     out: dict = {}
     B = batch_size
+    n_shards = 1
+    if mesh is not None:
+        # data parallelism over images: the batch splits into one sub-batch
+        # per device along the mesh's first axis (SURVEY §2.3 — the
+        # reference's mp.Pool per-core fan-out, cam.py:243-255); round the
+        # batch up so every shard gets the same static shape
+        n_shards = int(mesh.shape[mesh.axis_names[0]])
+        B = -(-B // n_shards) * n_shards
     Wn = len(params.win_sizes)
     total_det = 0
 
@@ -1496,6 +1504,105 @@ def estimate_pose_batched(
                       jnp.asarray(dists), table)
             return ("roi", (batch_files, batch_cams, nb, out))
 
+        def _dispatch_tiles_sharded(batch_files, batch_cams, nb, gray,
+                                    quads, valid, areas, Q_all, HW, Ks, dists):
+            """Mesh fast path: one tile batch PER DEVICE SHARD, run under
+            ``shard_map`` over the mesh's batch axis.  Every stage of the
+            tile program is per-image independent (scatter into the local
+            frame grid, crop-view refine/decode, per-image dedup/PnP), so
+            the per-shard programs need no collectives — this is the
+            reference's per-core ``mp.Pool`` scaling (cam.py:243-255) as
+            data parallelism over devices, with the SAME tile-union
+            transport as the single-device roi mode (detection-identical;
+            the old full-frame gather program is no longer the mesh route).
+            Shards share one compiled program: per-tier caps and the tile
+            payload cap take the max over shards (+dominance reuse), and
+            each shard's dynamic-trip chunk loops skip its padding.
+
+            Returns None when any shard has an over-tier site (caller falls
+            back to the sharded full-frame program).
+            """
+            from .ops.roi import TILE
+
+            H, W = HW
+            Bs = B // n_shards
+            tbs = []
+            for d in range(n_shards):
+                sl = slice(d * Bs, (d + 1) * Bs)
+                tb = build_tile_batch(gray[sl], quads[sl], valid[sl],
+                                      areas[sl], H, W, params)
+                if tb is None:
+                    return None
+                tbs.append(tb)
+            if not any(tb.caps for tb in tbs):  # blank frames everywhere
+                empty = np.zeros((23, B * params.max_detections), np.float32)
+                return ("roi", (batch_files, batch_cams, nb, empty))
+            merged: dict = {}
+            for tb in tbs:
+                for T, N in tb.caps:
+                    merged[T] = max(merged.get(T, 0), N)
+            caps_tight = tuple(sorted(merged.items()))
+            Tcap_tight = max(tb.tiles.shape[0] for tb in tbs)
+            Hp, Wp = tbs[0].frame_hw
+
+            def build(caps_c, Tcap_c):
+                import jax
+                from jax.sharding import PartitionSpec as P
+
+                inner = _build_roi_detect(
+                    Bs, Q_all, (H, W), caps_c, n_bits, params, lm_iters,
+                    float(marker_size), pnp_method, use_mm,
+                    tile_spec=(Hp, Wp, TILE, Tcap_c))
+                axis = mesh.axis_names[0]
+                ntiers = len(caps_c)
+
+                def local(tiles, tidx, nch_used, Ks_s, dists_s, table_r, *metas):
+                    return inner((tiles[0], tidx[0]),
+                                 tuple(m[0] for m in metas), nch_used[0],
+                                 Ks_s, dists_s, table_r)
+
+                sm = jax.shard_map(
+                    local, mesh=mesh,
+                    in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis),
+                              P(), *([P(axis)] * ntiers)),
+                    out_specs=P(None, axis),
+                    check_vma=False,
+                )
+                return jax.jit(sm)
+
+            run, caps_c, Tcap_c = _get_dominating_pipeline(
+                "roitile_mesh",
+                (mesh, Bs, Q_all, (H, W), (Hp, Wp, TILE), n_bits, params,
+                 lm_iters, float(marker_size), pnp_method, use_mm,
+                 _roi_chunk_target()),
+                caps_tight, max(Tcap_tight, 1), build,
+            )
+            ntiers = len(caps_c)
+            metas_all = [[] for _ in range(ntiers)]
+            nch_all, tiles_all, tidx_all = [], [], []
+            trash_row = Bs * (Hp // TILE) * (Wp // TILE)
+            for tb in tbs:
+                metas_c, nch_used = _pad_tier_metas(tb.caps, tb.metas,
+                                                    caps_c, Bs * Q_all)
+                for ti, m in enumerate(metas_c):
+                    metas_all[ti].append(m)
+                nch_all.append(nch_used)
+                tiles, tidx = tb.tiles, tb.tidx
+                if Tcap_c > tiles.shape[0]:
+                    npad = Tcap_c - tiles.shape[0]
+                    tiles = np.concatenate(
+                        [tiles, np.zeros((npad, tiles.shape[1]), np.uint8)])
+                    tidx = np.concatenate(
+                        [tidx, np.full((npad,), trash_row, np.int32)])
+                tiles_all.append(tiles)
+                tidx_all.append(tidx)
+            out = run(jnp.asarray(np.stack(tiles_all)),
+                      jnp.asarray(np.stack(tidx_all)),
+                      jnp.asarray(np.stack(nch_all)),
+                      jnp.asarray(Ks), jnp.asarray(dists), table,
+                      *(jnp.asarray(np.stack(ms)) for ms in metas_all))
+            return ("roi", (batch_files, batch_cams, nb, out))
+
         def stage_threshold(prep):
             """Feed side: host threshold + C CCL + ROI assembly + upload +
             detection dispatch (async).  Only the candidate-region tiles
@@ -1505,10 +1612,18 @@ def estimate_pose_batched(
             Q_all = quads.shape[1]  # slot layout incl. any 4-conn splits
             rb = None
             if upload == "tiles":
-                rb = build_tile_batch(gray, quads, valid, areas, H, W, params)
-                if rb is not None:
-                    return _dispatch_tiles(batch_files, batch_cams, nb, rb,
-                                           Q_all, (H, W), Ks, dists)
+                if n_shards > 1:
+                    res = _dispatch_tiles_sharded(
+                        batch_files, batch_cams, nb, gray, quads, valid,
+                        areas, Q_all, (H, W), Ks, dists)
+                    if res is not None:
+                        return res
+                else:
+                    rb = build_tile_batch(gray, quads, valid, areas, H, W,
+                                          params)
+                    if rb is not None:
+                        return _dispatch_tiles(batch_files, batch_cams, nb,
+                                               rb, Q_all, (H, W), Ks, dists)
             else:
                 rb = build_roi_batch(gray, quads, valid, areas, H, W, params)
             if rb is None:

@@ -281,12 +281,26 @@ def pack_problem(
         # C path: one pass over the dict does filtering, key parsing, node-id
         # interning, quaternion conversion, the full orthonormality gate and
         # the fused buffer fills; only the user callables run in the
-        # interpreter.
-        (edata_b, eidx_b, raw_b, cam_list, time_list, E, skipped,
-         ortho_ok) = fastpack.pack_edges2(
-            src_edges, edge_filter, noise_model_r, noise_model_t, marker2idx,
-            dtype == np.float64,
-        )
+        # interpreter — and not even those when they match a recognized
+        # declarative/tutorial form (solver/specs.py): the C kernel then
+        # evaluates filter + noise models inline, bit-identically.
+        if hasattr(fastpack, "pack_edges3"):
+            from .specs import recognize_filter, recognize_noise
+
+            (edata_b, eidx_b, raw_b, cam_list, time_list, E, skipped,
+             ortho_ok) = fastpack.pack_edges3(
+                src_edges, edge_filter, noise_model_r, noise_model_t,
+                marker2idx, dtype == np.float64,
+                recognize_filter(edge_filter),
+                recognize_noise(noise_model_r),
+                recognize_noise(noise_model_t),
+            )
+        else:
+            (edata_b, eidx_b, raw_b, cam_list, time_list, E, skipped,
+             ortho_ok) = fastpack.pack_edges2(
+                src_edges, edge_filter, noise_model_r, noise_model_t,
+                marker2idx, dtype == np.float64,
+            )
         if skipped:
             _warn_unconstrained(skipped)
         if E == 0:
