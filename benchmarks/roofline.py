@@ -66,8 +66,108 @@ def _timed(fn, *args, reps=3):
     return sorted(ts)[len(ts) // 2]
 
 
+def run_headline(args):
+    """Decompose the headline fused se3sync (bench.py's 100-cam/120k-edge
+    problem): host pack, wire build, H2D, fixed dispatch+fetch overhead vs
+    per-primal-dual-iteration device compute (isolated by running the SAME
+    compiled program at maxiter 0 and 4 — maxiter is a dynamic argument)."""
+    import bench  # repo-root: CONFIG + the tutorial-form noise/filter closures
+
+    from vican_tpu.bipgo import pack_wire
+    from vican_tpu.solver import core as _core
+    from vican_tpu.solver.packing import pack_problem
+    from vican_tpu.synthetic import make_problem_arrays
+
+    print(f"# generating headline problem {bench.CONFIG} ...", file=sys.stderr)
+    prob = make_problem_arrays(**bench.CONFIG)
+    constraints = prob.constraints()
+
+    def pack():
+        return pack_problem(
+            prob.edges, constraints, bench.NOISE_R, bench.NOISE_T, bench.FILT,
+            dtype=np.float32,
+        )
+
+    t0 = time.perf_counter()
+    packed = pack()
+    pack_s = time.perf_counter() - t0
+    pack_s = min(pack_s, *(_timed_host(pack) for _ in range(2)))
+
+    t0 = time.perf_counter()
+    wire, con = pack_wire(packed)
+    wire_build_s = time.perf_counter() - t0
+    wire_bytes = wire.nbytes + con.nbytes
+    C, T = packed.num_cams, packed.num_times
+    d2h_bytes = (C + T + 1) * 12 * 4
+
+    def h2d():
+        dev = (jax.device_put(wire), jax.device_put(con))
+        jax.block_until_ready(dev)
+        return dev[1][:1, :1]
+
+    h2d_s = _timed(h2d, reps=args.reps)
+    wire_dev, con_dev = jax.device_put(wire), jax.device_put(con)
+    jax.block_until_ready((wire_dev, con_dev))
+
+    kw = dict(root_idx=packed.root_idx, C=C, T=T,
+              cert_tol=1e-6 / packed.k_r_scale)
+
+    def chain(mi):
+        import jax.numpy as jnp
+        with jax.default_matmul_precision("highest"):
+            _, fused_out = _core.se3sync_wire(
+                wire_dev, con_dev, maxiter=jnp.asarray(mi, jnp.int32), **kw
+            )
+        return np.asarray(fused_out)  # the production packed D2H fetch
+
+    print("# compiling fused chain ...", file=sys.stderr)
+    t0 = time.perf_counter()
+    chain(4)
+    compile_s = time.perf_counter() - t0
+    t4 = _timed(chain, 4, reps=args.reps)
+    t0_s = _timed(chain, 0, reps=args.reps)
+    per_iter = max(t4 - t0_s, 0.0) / 4
+    result = {
+        "metric": "headline fused se3sync decomposition "
+                  f"({C} cams, {T} timesteps, {packed.num_edges} edges)",
+        "value": round(t4, 4),
+        "unit": "s (resident device chain, maxiter=4, incl. dispatch+D2H)",
+        "details": {
+            "backend": jax.devices()[0].platform,
+            "compile_run_s": round(compile_s, 2),
+            "host_pack_s": round(pack_s, 4),
+            "host_wire_build_s": round(wire_build_s, 4),
+            "h2d_s": round(h2d_s, 4),
+            "wire_MB": round(wire_bytes / 1e6, 2),
+            "h2d_MBs": round(wire_bytes / 1e6 / h2d_s, 1),
+            "chain_maxiter4_s": round(t4, 4),
+            "chain_maxiter0_s": round(t0_s, 4),
+            "per_so3_iter_s": round(per_iter, 4),
+            "fixed_overhead_s": round(t0_s, 4),
+            "fixed_overhead_note": "dispatch RPC + constraint fold + "
+                                   "translation CG + packed D2H "
+                                   f"({d2h_bytes/1e3:.0f} KB) at maxiter=0",
+            "e2e_sum_s": round(pack_s + wire_build_s + h2d_s + t4, 4),
+            "measured_with_forced_fetch": True,
+        },
+    }
+    if not args.no_save:
+        with open(os.path.join(REPO, "benchmarks", "roofline_headline.json"), "w") as f:
+            json.dump(result, f, indent=1)
+    print(json.dumps(result))
+
+
+def _timed_host(fn):
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--headline", action="store_true",
+                    help="decompose the headline fused se3sync instead of "
+                         "the 10k-cam scale solve")
     ap.add_argument("--cams", type=int, default=10_000)
     ap.add_argument("--times", type=int, default=10_000)
     ap.add_argument("--edges", type=int, default=1_000_000)
@@ -83,6 +183,10 @@ def main():
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--no-save", action="store_true")
     args = ap.parse_args()
+
+    if args.headline:
+        run_headline(args)
+        return
 
     sys.path.insert(0, os.path.join(REPO, "benchmarks"))
     from scale_bench import make_folded_edges

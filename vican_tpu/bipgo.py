@@ -111,6 +111,45 @@ def _device_arrays(packed: PackedProblem, dtype):
     )
 
 
+def pack_wire(packed: PackedProblem):
+    """Host-side 32-byte/edge wire buffer for :func:`core.se3sync_wire`.
+
+    Returns ``(wire (E, 8) f32, con (M, 12) f32)`` — the single-H2D /
+    single-D2H fast path's exact transfer payloads (column layout documented
+    on ``core.se3sync_wire``) — or ``None`` when the packed node indices
+    overflow the 31-bit bit-packed field or the problem carries no
+    quaternions (callers fall back to :func:`core.se3sync_fused`).
+    """
+    if not packed.has_quats:
+        return None
+    C, T = packed.num_cams, packed.num_times
+    M = len(packed.marker_ids)
+    mb = max((M - 1).bit_length(), 1)
+    tb = max((T - 1).bit_length(), 1)
+    cb = max((C - 1).bit_length(), 1)
+    if cb + tb + mb > 31:
+        return None
+    E = packed.num_edges
+    wire = np.empty((E, 8), np.float32)
+    qi = np.clip(
+        np.round(np.ascontiguousarray(packed.edata[:, :4]) * 32767.0),
+        -32767, 32767,
+    ).astype(np.int16)
+    wire[:, 0:2] = qi.view(np.float32)
+    wire[:, 2:7] = packed.edata[:, 4:9]
+    iv = (
+        (packed.eidx[:, 0].astype(np.int64) << (tb + mb))
+        | (packed.eidx[:, 1].astype(np.int64) << mb)
+        | packed.eidx[:, 2]
+    ).astype(np.int32)
+    wire[:, 7] = iv.view(np.float32)
+    M_con = packed.R_con.shape[0]
+    con = np.concatenate(
+        [packed.R_con.reshape(M_con, 9), packed.t_con], axis=1
+    ).astype(np.float32)
+    return wire, con
+
+
 def large_bipartite_so3sync(
     src_edges: dict,
     constraints: dict,
@@ -588,37 +627,17 @@ def bipartite_se3sync(
                 # fetch; the per-edge problem goes up in ONE H2D transfer
                 # when the node indices fit a 31-bit field (bitcast into the
                 # f32 buffer), else two.
-                M = len(packed.marker_ids)
-                mb = max((M - 1).bit_length(), 1)
-                tb = max((T - 1).bit_length(), 1)
-                cb = max((C - 1).bit_length(), 1)
                 kw = dict(
                     root_idx=packed.root_idx, C=C, T=T,
                     maxiter=jnp.asarray(maxiter, jnp.int32),
                     cert_tol=1e-6 / packed.k_r_scale,
                 )
-                if np.dtype(dtype) == np.float32 and cb + tb + mb <= 31:
-                    # 32-byte/edge wire format (see core.se3sync_wire)
-                    E = packed.num_edges
-                    wire = np.empty((E, 8), np.float32)
-                    qi = np.clip(
-                        np.round(np.ascontiguousarray(packed.edata[:, :4]) * 32767.0),
-                        -32767, 32767,
-                    ).astype(np.int16)
-                    wire[:, 0:2] = qi.view(np.float32)
-                    wire[:, 2:7] = packed.edata[:, 4:9]
-                    iv = (
-                        (packed.eidx[:, 0].astype(np.int64) << (tb + mb))
-                        | (packed.eidx[:, 1].astype(np.int64) << mb)
-                        | packed.eidx[:, 2]
-                    ).astype(np.int32)
-                    wire[:, 7] = iv.view(np.float32)
-                    M_con = packed.R_con.shape[0]
-                    con = np.concatenate(
-                        [packed.R_con.reshape(M_con, 9), packed.t_con], axis=1
-                    ).astype(np.float32)
+                wire_con = (
+                    pack_wire(packed) if np.dtype(dtype) == np.float32 else None
+                )
+                if wire_con is not None:
                     result, fused_out = _core.se3sync_wire(
-                        jnp.asarray(wire), jnp.asarray(con), **kw
+                        jnp.asarray(wire_con[0]), jnp.asarray(wire_con[1]), **kw
                     )
                 else:
                     result, fused_out = _core.se3sync_fused(
