@@ -163,11 +163,131 @@ def _timed_host(fn):
     return time.perf_counter() - t0
 
 
+def run_perception(args):
+    """Decompose the roi-mode crop-detect batch: host decode / C threshold+CCL
+    / tile-union build, tile H2D, and the device program on RESIDENT inputs.
+
+    Instruments one serial pipeline pass (PIPELINE_DEPTH=1) by wrapping the
+    module-level stage functions, capturing the device program + its argument
+    arrays, then re-timing the program alone (the production pipeline
+    overlaps the host stages with the device program on two threads, so the
+    per-stage sums here bound — not equal — the pipelined wall-clock).
+    """
+    os.environ["VICAN_TPU_PIPELINE_DEPTH"] = "1"
+    sys.path.insert(0, os.path.join(REPO, "benchmarks"))
+    from perception_bench import make_scene
+
+    from vican_tpu import perception as P
+    from vican_tpu.dataset import Dataset
+    from vican_tpu.ops import roi as RO
+
+    W, H, B = 1280, 720, 16
+    root = make_scene(
+        os.path.join(REPO, "_synthetic", f"perception_bench_{W}x{H}_48"),
+        48, (W, H),
+    )  # the perception_bench scene; first B files = one batch
+    ds = Dataset(root)
+    files, cams = ds.im_data["filename"][:B], ds.im_data["cam"][:B]
+
+    acc = {"decode_s": 0.0, "candidates_s": 0.0, "tile_build_s": 0.0}
+    captured = {}
+    orig = (P.load_images, P.host_candidates, RO.build_tile_batch,
+            P._build_roi_detect)
+
+    def load_timed(fns, grayscale=False):
+        t0 = time.perf_counter()
+        out = orig[0](fns, grayscale=grayscale)
+        acc["decode_s"] += time.perf_counter() - t0
+        return out
+
+    def cand_timed(gray, params):
+        t0 = time.perf_counter()
+        out = orig[1](gray, params)
+        acc["candidates_s"] += time.perf_counter() - t0
+        return out
+
+    def tile_timed(*a, **k):
+        t0 = time.perf_counter()
+        out = orig[2](*a, **k)
+        acc["tile_build_s"] += time.perf_counter() - t0
+        captured["tb"] = out
+        return out
+
+    def build_wrapped(*a, **k):
+        run = orig[3](*a, **k)
+
+        def run_captured(*ra):
+            captured["run"], captured["args"] = run, ra
+            return run(*ra)
+
+        return run_captured
+
+    P.load_images, P.host_candidates = load_timed, cand_timed
+    RO.build_tile_batch, P._build_roi_detect = tile_timed, build_wrapped
+    try:
+        print("# running one roi-mode batch (compile included) ...", file=sys.stderr)
+        t0 = time.perf_counter()
+        edges = P.estimate_pose_batched(
+            files, cams, aruco="DICT_4X4_1000", marker_size=0.48 * 0.575,
+            corner_refine="CORNER_REFINE_APRILTAG", brightness=0, contrast=0,
+            flags="SOLVEPNP_IPPE_SQUARE", batch_size=B, pipeline_mode="roi",
+            verbose=False,
+        )
+        first_call_s = time.perf_counter() - t0
+    finally:
+        P.load_images, P.host_candidates = orig[0], orig[1]
+        RO.build_tile_batch, P._build_roi_detect = orig[2], orig[3]
+    if "run" not in captured:
+        raise RuntimeError("roi tile program was not dispatched (mode fell back?)")
+
+    run, ra = captured["run"], captured["args"]
+    out_bytes = np.asarray(run(*ra)).nbytes
+    dev_s = _timed(lambda: run(*ra), reps=args.reps)
+
+    tb = captured["tb"]
+    tile_bytes = tb.tiles.nbytes + tb.tidx.nbytes
+
+    def h2d():
+        dev = (jax.device_put(tb.tiles), jax.device_put(tb.tidx))
+        jax.block_until_ready(dev)
+        return dev[1][:1]
+
+    h2d_s = _timed(h2d, reps=args.reps)
+
+    result = {
+        "metric": f"perception roi batch decomposition ({B} frames {W}x{H})",
+        "value": round(dev_s, 4),
+        "unit": "s/batch (resident crop-detect program incl. dispatch+D2H)",
+        "details": {
+            "backend": jax.devices()[0].platform,
+            "first_call_s": round(first_call_s, 2),
+            "host_decode_s_per_img": round(acc["decode_s"] / B, 4),
+            "host_candidates_s_per_img": round(acc["candidates_s"] / B, 4),
+            "host_tile_build_s_per_img": round(acc["tile_build_s"] / B, 4),
+            "tile_payload_MB": round(tile_bytes / 1e6, 2),
+            "h2d_s": round(h2d_s, 4),
+            "h2d_MBs": round(tile_bytes / 1e6 / h2d_s, 1),
+            "device_program_s": round(dev_s, 4),
+            "result_fetch_KB": round(out_bytes / 1e3, 1),
+            "detections": len(edges),
+            "note": "production pipeline overlaps host stages with the device "
+                    "program on two threads; these are serial per-stage costs",
+            "measured_with_forced_fetch": True,
+        },
+    }
+    if not args.no_save:
+        with open(os.path.join(REPO, "benchmarks", "roofline_perception.json"), "w") as f:
+            json.dump(result, f, indent=1)
+    print(json.dumps(result))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--headline", action="store_true",
                     help="decompose the headline fused se3sync instead of "
                          "the 10k-cam scale solve")
+    ap.add_argument("--perception", action="store_true",
+                    help="decompose the roi-mode crop-detect batch instead")
     ap.add_argument("--cams", type=int, default=10_000)
     ap.add_argument("--times", type=int, default=10_000)
     ap.add_argument("--edges", type=int, default=1_000_000)
@@ -186,6 +306,9 @@ def main():
 
     if args.headline:
         run_headline(args)
+        return
+    if args.perception:
+        run_perception(args)
         return
 
     sys.path.insert(0, os.path.join(REPO, "benchmarks"))
