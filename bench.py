@@ -251,6 +251,27 @@ def main():
         with open(scale_path) as f:
             sr = json.load(f)
         details["scale_10kcam_warm_s_recorded"] = sr["value"]
+    # Perception throughput: REFRESH the artifact in THIS session (VERDICT
+    # r4 item 3 — the repo's headline numbers must be the driver session's,
+    # not a best-of-N-sessions hand run).  roi + the measured reference
+    # pipeline, interleaved reps inside perception_bench.  Fail-soft: a
+    # perception failure must not take down the solver bench artifact.
+    perc_refreshed = False
+    if os.environ.get("VICAN_TPU_BENCH_PERCEPTION", "1") != "0":
+        import subprocess
+        try:
+            r = subprocess.run(
+                [sys.executable,
+                 os.path.join(REPO, "benchmarks", "perception_bench.py"),
+                 "--modes", "roi,reference", "--reps", "3"],
+                capture_output=True, timeout=3600,
+            )
+            perc_refreshed = r.returncode == 0
+            if not perc_refreshed:
+                tail = (r.stderr or b"").decode(errors="replace")[-200:]
+                print(f"# perception refresh failed: {tail}", file=sys.stderr)
+        except Exception as e:
+            print(f"# perception refresh failed: {e!r}", file=sys.stderr)
     # Perception throughput, recorded by benchmarks/perception_bench.py
     # (includes the MEASURED reference-cv2 pipeline on the same scene/host).
     perc_path = os.path.join(REPO, "benchmarks", "perception_result.json")
@@ -260,6 +281,7 @@ def main():
         details["perception_img_per_s_recorded"] = {
             m: v.get("img_per_s") for m, v in pr.get("modes", {}).items()
         }
+        details["perception_refreshed_this_session"] = perc_refreshed
     print(json.dumps({
         "metric": "large_shop_synth se3sync wall-clock (100 cams, 10k timesteps, 120k edges)",
         "value": round(ours_s, 4),
