@@ -147,7 +147,13 @@ class DetectorParams(NamedTuple):
     # margin beyond each candidate bbox (must cover the refine/decode
     # sampling excursion — see ops/roi.py), and whether sampling uses the
     # one-hot matmul path (None = auto: TPU yes; both paths are bit-exact).
-    roi_tiers: tuple = (64, 128, 192, 256, 320, 384)
+    # The 512 tier exists for rare elongated sites (degenerate aliasing
+    # slivers, very close-range markers): ONE candidate that fits no tier
+    # sends its whole batch to the full-frame fallback — a ~5x transport
+    # blow-up per batch on a remote-tunnel host (measured: one 142x399 px
+    # sliver cost the bench scene ~0.6 s/batch).  An unused tier costs
+    # nothing at runtime (its dynamic-trip chunk loop runs 0 iterations).
+    roi_tiers: tuple = (64, 128, 192, 256, 320, 384, 512)
     roi_margin: int = 8
     roi_matmul_sampling: bool | None = None
     # Device-side mirror of the host hull re-fit for degenerate-extraction
