@@ -227,7 +227,7 @@ def _lmax_lanczos(mv, v0, k: int):
 
 
 def _chefsi_bottom(mv_filt, mv_full, X, b, k: int, deg: int, rounds: int,
-                   polish_deg: int, a0):
+                   polish_deg: int, a0, mv_polish=None):
     """Bottom-k eigenpairs via Chebyshev-filtered subspace iteration with an
     ADAPTIVE window lower edge.
 
@@ -235,6 +235,9 @@ def _chefsi_bottom(mv_filt, mv_full, X, b, k: int, deg: int, rounds: int,
     is the cheap (possibly bf16) matvec used for the bulk filtering,
     ``mv_full`` the full-precision matvec used for the polish pass and the
     Rayleigh-Ritz extractions (the certificate eigenvalues come from there).
+    ``mv_polish`` (default ``mv_full``) optionally substitutes a cheaper
+    full-operand product for the polish filter only — see
+    :func:`_make_operator`.
     ``b`` is a safe upper bound of the spectrum; ``a0`` the initial window
     lower edge.  Returns ``(evals ascending (k,), vectors (n, k),
     X_next (n, m), a_next)``.
@@ -272,7 +275,8 @@ def _chefsi_bottom(mv_filt, mv_full, X, b, k: int, deg: int, rounds: int,
 
     Q, a = lax.fori_loop(0, rounds, round_body, (X, a0))
     if polish_deg > 0:
-        Q, _ = jnp.linalg.qr(_cheb_filter(mv_full, Q, polish_deg, a, b))
+        Q, _ = jnp.linalg.qr(
+            _cheb_filter(mv_polish or mv_full, Q, polish_deg, a, b))
     theta, V = rayleigh_ritz(Q)
     a_next = jnp.clip(theta[k], 1e-6 * b, 0.5 * b)
     return theta[:k], V[:, :k], V, a_next
@@ -326,12 +330,19 @@ def _make_operator(KR_s, k_s, cam_s, tloc_s, *, C, chunk_t, prec, f_dtype,
 
     Returns ``(prepare, time_products)``:
 
-    - ``prepare(lbd_c, lbd_t, inv_scale) -> (mv_full, mv_filt, apply_pwr)``,
-      called once per primal-dual iteration.  ``mv_*`` are matvecs of the
-      scaled Laplacian ``(blockdiag(Lambda_C) - R~) * inv_scale`` on
-      (3C, w) blocks — ``mv_filt`` through the reduced-precision operator;
-      ``apply_pwr(X)`` is the raw power-graph product ``R~ @ X`` at full
-      precision (the dual update, bipgo.py:300).
+    - ``prepare(lbd_c, lbd_t, inv_scale) -> (mv_full, mv_filt, mv_polish,
+      apply_pwr)``, called once per primal-dual iteration.  ``mv_*`` are
+      matvecs of the scaled Laplacian ``(blockdiag(Lambda_C) - R~) *
+      inv_scale`` on (3C, w) blocks — ``mv_filt`` through the
+      reduced-precision operator; ``mv_polish`` reads the FULL-precision
+      operand at 3-pass (HIGH) matmul precision: the polish pass only needs
+      to damp the ~2^-8 bf16 OPERAND contamination, and bf16x3 products on
+      f32 operands carry ~1e-6 relative error — at the f32 target — while
+      halving the MXU passes of the 6-pass HIGHEST product (measured
+      19.5 ms -> ~12 ms per pass on a v5e, where HIGHEST is MXU-bound at
+      14 ms and the 2x f32 B read bounds at 8.8 ms); ``apply_pwr(X)`` is
+      the raw power-graph product ``R~ @ X`` at full precision (the dual
+      update, bipgo.py:300).
     - ``time_products(r)``: ``rt_raw[t] = sum_i M_it^T r[i]`` (full
       precision), shape (n_chunks*chunk_t, 3, 3) (bipgo.py:318).
 
@@ -369,11 +380,18 @@ def _make_operator(KR_s, k_s, cam_s, tloc_s, *, C, chunk_t, prec, f_dtype,
                 preferred_element_type=dtype,
             )
 
-        def _apply_pwr(X, lbd_t, filt):
+        def _apply_pwr(X, lbd_t, filt, polish=False):
             Bx = B_filt if filt else B
             # bf16 operands take the native single-pass MXU path; full-
-            # precision operands honor the requested f32 precision.
-            precision = None if (filt and f_dtype is not None) else prec
+            # precision operands honor the requested f32 precision (the
+            # polish variant reads f32 at 3-pass HIGH — see the module
+            # docstring of prepare above)
+            if filt and f_dtype is not None:
+                precision = None
+            elif polish:
+                precision = lax.Precision.HIGH
+            else:
+                precision = prec
             w = X.shape[1]
             Z = _mv(Bx.T, X, precision)  # (3*T_pad, w)
             # blockwise Lambda application: a dense (3T, 3T) block-diagonal
@@ -394,8 +412,13 @@ def _make_operator(KR_s, k_s, cam_s, tloc_s, *, C, chunk_t, prec, f_dtype,
                     _blockdiag_mv(lbd_c, X) - _apply_pwr(X, lbd_t, True)
                 ) * inv_scale
 
+            def mv_polish(X):
+                return (
+                    _blockdiag_mv(lbd_c, X) - _apply_pwr(X, lbd_t, False, True)
+                ) * inv_scale
+
             apply_pwr = lambda X: _apply_pwr(X, lbd_t, False)
-            return mv_full, mv_filt, apply_pwr
+            return mv_full, mv_filt, mv_polish, apply_pwr
 
         def time_products(r):
             rt = jnp.matmul(B.T, r.reshape(three_c, 3), precision=prec)
@@ -439,7 +462,9 @@ def _make_operator(KR_s, k_s, cam_s, tloc_s, *, C, chunk_t, prec, f_dtype,
         else:
             mv_filt = mv_full
         apply_pwr = lambda X: jnp.matmul(pwr, X, precision=prec)
-        return mv_full, mv_filt, apply_pwr
+        # streaming regime: the per-iteration dense power-graph build
+        # dominates, a cheaper polish product buys nothing
+        return mv_full, mv_filt, mv_full, apply_pwr
 
     def time_products(r):
         r_flat = r.reshape(three_c, 3)
@@ -492,7 +517,7 @@ def _sync_body_fns(prepare, time_products, *, C, maxiter, cert_tol,
         # eigenvalues are rescaled back for the certificate.
         scale = jnp.maximum(jnp.max(jnp.abs(lbd_c[:, (0, 1, 2), (0, 1, 2)])), 1e-30)
         inv_scale = 1.0 / scale
-        mv_full, mv_filt, apply_pwr = prepare(lbd_c, lbd_t, inv_scale)
+        mv_full, mv_filt, mv_polish, apply_pwr = prepare(lbd_c, lbd_t, inv_scale)
 
         # lambda_max of the scaled operator: a safeguarded Lanczos upper
         # bound on the first iteration (robust to near-degenerate top
@@ -523,10 +548,12 @@ def _sync_body_fns(prepare, time_products, *, C, maxiter, cert_tol,
         evals5, V5, X_next, a_next = lax.cond(
             it == 0,
             lambda X: _chefsi_bottom(
-                mv_filt, mv_full, X, b, 5, cheb_degree, cheb_rounds, pol, a0
+                mv_filt, mv_full, X, b, 5, cheb_degree, cheb_rounds, pol, a0,
+                mv_polish=mv_polish,
             ),
             lambda X: _chefsi_bottom(
-                mv_filt, mv_full, X, b, 5, cheb_degree_warm, 1, pol, a0
+                mv_filt, mv_full, X, b, 5, cheb_degree_warm, 1, pol, a0,
+                mv_polish=mv_polish,
             ),
             X,
         )
@@ -766,7 +793,8 @@ def so3_sync_large_sharded(
             wrappers add it once.
             """
             zero_c = jnp.zeros_like(lbd_c)
-            l_full, l_filt, l_pwr = local_prepare(zero_c, lbd_t_l, inv_scale)
+            l_full, l_filt, l_polish, l_pwr = local_prepare(
+                zero_c, lbd_t_l, inv_scale)
 
             def mv_full(X):
                 return jax.lax.psum(l_full(X), axis) + (
@@ -778,10 +806,15 @@ def so3_sync_large_sharded(
                     _blockdiag_mv(lbd_c, X) * inv_scale
                 )
 
+            def mv_polish(X):
+                return jax.lax.psum(l_polish(X), axis) + (
+                    _blockdiag_mv(lbd_c, X) * inv_scale
+                )
+
             def apply_pwr(X):
                 return jax.lax.psum(l_pwr(X), axis)
 
-            return mv_full, mv_filt, apply_pwr
+            return mv_full, mv_filt, mv_polish, apply_pwr
 
         cond, body = _sync_body_fns(
             prepare, local_tp, C=C, maxiter=maxiter, cert_tol=cert_tol,
