@@ -185,11 +185,14 @@ def run_perception(args):
     root = make_scene(
         os.path.join(REPO, "_synthetic", f"perception_bench_{W}x{H}_48"),
         48, (W, H),
-    )  # the perception_bench scene; first B files = one batch
+    )  # the full perception_bench scene (3 batches of B)
     ds = Dataset(root)
-    files, cams = ds.im_data["filename"][:B], ds.im_data["cam"][:B]
+    files, cams = ds.im_data["filename"], ds.im_data["cam"]
 
-    acc = {"decode_s": 0.0, "candidates_s": 0.0, "tile_build_s": 0.0}
+    # per-call times; the FIRST batch carries one-time costs (C kernel
+    # load, lazy imports, compiles) and is excluded from the per-image
+    # numbers below — steady state is the median of the later batches
+    acc = {"decode_s": [], "candidates_s": [], "tile_build_s": []}
     captured = {}
     orig = (P.load_images, P.host_candidates, RO.build_tile_batch,
             P._build_roi_detect)
@@ -197,20 +200,21 @@ def run_perception(args):
     def load_timed(fns, grayscale=False):
         t0 = time.perf_counter()
         out = orig[0](fns, grayscale=grayscale)
-        acc["decode_s"] += time.perf_counter() - t0
+        acc["decode_s"].append(time.perf_counter() - t0)
         return out
 
     def cand_timed(gray, params):
         t0 = time.perf_counter()
         out = orig[1](gray, params)
-        acc["candidates_s"] += time.perf_counter() - t0
+        acc["candidates_s"].append(time.perf_counter() - t0)
         return out
 
     def tile_timed(*a, **k):
         t0 = time.perf_counter()
         out = orig[2](*a, **k)
-        acc["tile_build_s"] += time.perf_counter() - t0
-        captured["tb"] = out
+        acc["tile_build_s"].append(time.perf_counter() - t0)
+        if out is not None:  # None = over-tier site, full-frame fallback
+            captured["tb"] = out
         return out
 
     def build_wrapped(*a, **k):
@@ -254,6 +258,11 @@ def run_perception(args):
 
     h2d_s = _timed(h2d, reps=args.reps)
 
+    def steady(key):
+        """Median per-image steady-state cost (first batch excluded)."""
+        ts = sorted(acc[key][1:]) or acc[key]
+        return ts[len(ts) // 2] / B
+
     result = {
         "metric": f"perception roi batch decomposition ({B} frames {W}x{H})",
         "value": round(dev_s, 4),
@@ -261,9 +270,10 @@ def run_perception(args):
         "details": {
             "backend": jax.devices()[0].platform,
             "first_call_s": round(first_call_s, 2),
-            "host_decode_s_per_img": round(acc["decode_s"] / B, 4),
-            "host_candidates_s_per_img": round(acc["candidates_s"] / B, 4),
-            "host_tile_build_s_per_img": round(acc["tile_build_s"] / B, 4),
+            "host_decode_s_per_img": round(steady("decode_s"), 4),
+            "host_candidates_s_per_img": round(steady("candidates_s"), 4),
+            "host_tile_build_s_per_img": round(steady("tile_build_s"), 4),
+            "first_batch_candidates_s": round(acc["candidates_s"][0], 3),
             "tile_payload_MB": round(tile_bytes / 1e6, 2),
             "h2d_s": round(h2d_s, 4),
             "h2d_MBs": round(tile_bytes / 1e6 / h2d_s, 1),
@@ -295,8 +305,8 @@ def main():
     ap.add_argument("--maxiter", type=int, default=4)
     ap.add_argument("--cheb-degree", type=int, default=60)
     ap.add_argument("--cheb-rounds", type=int, default=2)
-    ap.add_argument("--cheb-degree-warm", type=int, default=40)
-    ap.add_argument("--polish-deg", type=int, default=8)
+    ap.add_argument("--cheb-degree-warm", type=int, default=28)
+    ap.add_argument("--polish-deg", type=int, default=6)
     ap.add_argument("--subspace", type=int, default=10)
     ap.add_argument("--loop-reps", type=int, default=40,
                     help="matvec passes per jitted fori_loop (amortizes RPC)")

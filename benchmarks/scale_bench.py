@@ -95,8 +95,8 @@ def main():
     ap.add_argument("--chunk-t", type=int, default=0, help="0 = auto (~T/8)")
     ap.add_argument("--precision", default="highest", choices=["highest", "high", "default"])
     ap.add_argument("--filter-dtype", default="auto", choices=["auto", "bfloat16", "none"])
-    ap.add_argument("--polish-deg", type=int, default=8)
-    ap.add_argument("--cheb-degree-warm", type=int, default=40)
+    ap.add_argument("--polish-deg", type=int, default=6)
+    ap.add_argument("--cheb-degree-warm", type=int, default=28)
     ap.add_argument("--maxiter", type=int, default=4)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--no-wire", action="store_true",

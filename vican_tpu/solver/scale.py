@@ -620,11 +620,11 @@ def so3_sync_large(
     cert_tol=1e-6,
     cheb_degree: int = 60,
     cheb_rounds: int = 2,
-    cheb_degree_warm: int = 40,
+    cheb_degree_warm: int = 28,
     subspace: int = 10,
     precision: str = "highest",
     filter_dtype: str = "auto",
-    polish_deg: int = 8,
+    polish_deg: int = 6,
     materialize_budget: int = _MATERIALIZE_BUDGET_BYTES,
 ) -> SyncResult:
     """Primal-dual SO(3) sync without the dense (C, 3, T, 3) block tensor
@@ -721,11 +721,11 @@ def so3_sync_large_sharded(
     cert_tol=1e-6,
     cheb_degree: int = 60,
     cheb_rounds: int = 2,
-    cheb_degree_warm: int = 40,
+    cheb_degree_warm: int = 28,
     subspace: int = 10,
     precision: str = "highest",
     filter_dtype: str = "auto",
-    polish_deg: int = 8,
+    polish_deg: int = 6,
     materialize_budget: int = _MATERIALIZE_BUDGET_BYTES,
 ) -> SyncResult:
     """Multi-chip large-graph SO(3) sync: the chunk stream sharded over the
