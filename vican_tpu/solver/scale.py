@@ -370,7 +370,21 @@ def _make_operator(KR_s, k_s, cam_s, tloc_s, *, C, chunk_t, prec, f_dtype,
         B = jnp.zeros((three_c, 3 * T_pad), dtype).at[rows, cols].add(
             edge_blocks()
         )
-        B_filt = B.astype(f_dtype) if f_dtype is not None else B
+        from .pallas_pwr import (
+            lam_panels, pallas_pwr_enabled, panels_from_flat, pwr_apply,
+        )
+
+        use_pallas = f_dtype == jnp.bfloat16 and pallas_pwr_enabled()
+        if use_pallas:
+            # single-read fused filter kernel (pallas_pwr.py): the operator
+            # is stored as stacked (3*PANEL, 3C) panels instead of a flat
+            # bf16 copy — same bytes, read ONCE per filter application
+            # (the XLA two-GEMM path reads it twice; measured 9.1 -> ~3 ms
+            # per pass on a v5e at 10k cams)
+            B_pan = panels_from_flat(B, T_pad)
+            B_filt = None
+        else:
+            B_filt = B.astype(f_dtype) if f_dtype is not None else B
 
         def _mv(M, X, precision):
             """M @ X with full-precision accumulation regardless of M's
@@ -381,7 +395,7 @@ def _make_operator(KR_s, k_s, cam_s, tloc_s, *, C, chunk_t, prec, f_dtype,
             )
 
         def _apply_pwr(X, lbd_t, filt, polish=False):
-            Bx = B_filt if filt else B
+            Bx = B_filt if (filt and B_filt is not None) else B
             # bf16 operands take the native single-pass MXU path; full-
             # precision operands honor the requested f32 precision (the
             # polish variant reads f32 at 3-pass HIGH — see the module
@@ -407,10 +421,22 @@ def _make_operator(KR_s, k_s, cam_s, tloc_s, *, C, chunk_t, prec, f_dtype,
                     _blockdiag_mv(lbd_c, X) - _apply_pwr(X, lbd_t, False)
                 ) * inv_scale
 
-            def mv_filt(X):
-                return (
-                    _blockdiag_mv(lbd_c, X) - _apply_pwr(X, lbd_t, True)
-                ) * inv_scale
+            if use_pallas:
+                lamp = lam_panels(lbd_t, B_pan.shape[0])
+
+                def mv_filt(X):
+                    # kernel works on transposed (w, n) operands — (n, w)
+                    # lane-pads w to 128 in VMEM (15 MB at n=30k)
+                    pwr = pwr_apply(
+                        lamp, jnp.transpose(X).astype(f_dtype), B_pan
+                    ).T
+                    return (_blockdiag_mv(lbd_c, X) - pwr) * inv_scale
+            else:
+
+                def mv_filt(X):
+                    return (
+                        _blockdiag_mv(lbd_c, X) - _apply_pwr(X, lbd_t, True)
+                    ) * inv_scale
 
             def mv_polish(X):
                 return (
