@@ -411,12 +411,17 @@ def main():
     X1 = X10[:, :1]
     X3 = X10[:, :3]
 
+    from vican_tpu.solver.pallas_pwr import pallas_pwr_enabled
+    # the Pallas kernel reads the bf16 operator ONCE per filter pass; the
+    # XLA two-GEMM path reads it twice
+    filt_reads = 1 if pallas_pwr_enabled() else 2
+
     cases = {
         # Chebyshev filter pass: Lambda_C blockdiag - B_filt Lambda_T B_filt^T,
         # the dominant loop (bf16 operand, 2 B reads)
         "filt_pass_w10": (
             lambda prep, tp: prep(lbd_c, lbd_t, 1.0)[1], X10,
-            2 * B_bf16_bytes, 2 * 2 * n * 3 * T_pad * 128, 1,
+            filt_reads * B_bf16_bytes, 2 * 2 * n * 3 * T_pad * 128, 1,
         ),
         # full-precision pass (polish + Rayleigh-Ritz): f32 HIGHEST
         "full_pass_w10": (
@@ -426,11 +431,16 @@ def main():
         # width-1 filter matvec (Lanczos / power refinement)
         "filt_pass_w1": (
             lambda prep, tp: prep(lbd_c, lbd_t, 1.0)[1], X1,
-            2 * B_bf16_bytes, 2 * 2 * n * 3 * T_pad * 128, 1,
+            filt_reads * B_bf16_bytes, 2 * 2 * n * 3 * T_pad * 128, 1,
+        ),
+        # polish pass: f32 operand at 3-pass HIGH precision
+        "polish_pass_w10": (
+            lambda prep, tp: prep(lbd_c, lbd_t, 1.0)[2], X10,
+            2 * B_f32_bytes, 2 * 2 * n * 3 * T_pad * 128, 3,
         ),
         # raw power product at width 3 (camera dual update)
         "pwr_w3": (
-            lambda prep, tp: prep(lbd_c, lbd_t, 1.0)[2], X3,
+            lambda prep, tp: prep(lbd_c, lbd_t, 1.0)[3], X3,
             2 * B_f32_bytes, 2 * 2 * n * 3 * T_pad * 128, F32_HIGHEST_PASSES,
         ),
     }
@@ -499,7 +509,7 @@ def main():
             KR_s, k_s, cam_s, tloc_s, C=C, chunk_t=chunk_t,
             prec=HIGHEST, f_dtype=jnp.bfloat16,
         )
-        mv_full, mv_filt, _ = prepare(lbd_c, lbd_t, 1.0)
+        mv_full, mv_filt, _, _ = prepare(lbd_c, lbd_t, 1.0)
         # touch both operators once so the scatter + cast must materialize
         return jnp.sum(mv_full(X1)[:4]) + jnp.sum(mv_filt(X1)[:4])
 
@@ -528,8 +538,8 @@ def main():
         "filt_pass_w10": it0 * args.cheb_rounds * args.cheb_degree
         + warm * 1 * args.cheb_degree_warm,
         "filt_pass_w1": it0 * 12 + warm * 5,  # Lanczos k=12; refine 4 + RQ
-        "full_pass_w10": it0 * (args.cheb_rounds + args.polish_deg + 1)
-        + warm * (1 + args.polish_deg + 1),
+        "full_pass_w10": it0 * (args.cheb_rounds + 1) + warm * (1 + 1),
+        "polish_pass_w10": (it0 + warm) * args.polish_deg,
         "pwr_w3": args.maxiter,
         "time_products": args.maxiter,
         f"qr_{n}x{m}": it0 * (args.cheb_rounds + 1) + warm * 2,

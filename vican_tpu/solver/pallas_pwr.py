@@ -190,13 +190,17 @@ def panels_from_flat(B, T_pad: int, panel: int = PANEL):
     n_pad = -(-n // 128) * 128  # Mosaic HBM slices: minor dim tile-aligned
     J = -(-T_pad // panel)
     Tp = J * panel
-    # (n, T_pad, 3) -> (3, T_pad, n) -> pad -> (3, J, panel, n_pad)
-    planes = jnp.transpose(B.reshape(n, T_pad, 3), (2, 1, 0))
-    planes = jnp.pad(planes, ((0, 0), (0, Tp - T_pad), (0, n_pad - n)))
+    # keep n the MINOR dim at every step: a (n, T_pad, 3) intermediate
+    # lane-pads the 3 to 128 and materializes 40x the operator (76.8 GB at
+    # 10k cams — the CLAUDE.md minor-dim trap, observed as a compile-time
+    # HBM OOM in the roofline microbenches)
+    Bt = jnp.transpose(B.astype(jnp.bfloat16))  # (3*T_pad, n)
+    Bt = jnp.pad(Bt, ((0, 3 * (Tp - T_pad)), (0, n_pad - n)))
+    # row q = 3*(j*panel + r) + a  ->  (j, r, a)  ->  (j, a, r)
     return (
-        jnp.transpose(planes.reshape(3, J, panel, n_pad), (1, 0, 2, 3))
+        Bt.reshape(J, panel, 3, n_pad)
+        .transpose(0, 2, 1, 3)
         .reshape(J, 3 * panel, n_pad)
-        .astype(jnp.bfloat16)
     )
 
 
