@@ -137,11 +137,14 @@ def pwr_apply(lamp, xt, bpan, *, interpret: bool | None = None):
             interpret = True
     w, n = xt.shape
     n_pad = bpan.shape[2]
-    # w=1 probes (the lmax power/Lanczos vectors) trip a Mosaic verifier
-    # bug: an M=1 dot lowers to a broadcast-multiply-reduce whose bf16->f32
-    # broadcast fails verification.  Padding to a full 8-row sublane tile
-    # is free (same MXU tiles, same DMA bytes).
-    w_pad = max(w, 8)
+    # Pad the thin dimension to a FIXED 16 sublanes: (a) w=1 probes (the
+    # lmax power/Lanczos vectors) trip a Mosaic verifier bug (an M=1 dot
+    # lowers to a broadcast-multiply-reduce whose bf16->f32 broadcast fails
+    # verification); (b) the f32 result tile is 16 rows physical for any
+    # w <= 16 anyway, so w=1 probes and w=10 filter blocks share ONE
+    # compiled Mosaic kernel per operator shape — each kernel program
+    # costs ~200 s in remote AOT compile on the axon tunnel.
+    w_pad = max(16, -(-w // 8) * 8)
     if n != n_pad or w != w_pad:
         # bpan's camera axis is 128-padded (Mosaic slice tiling)
         xt = jnp.pad(xt, ((0, w_pad - w), (0, n_pad - n)))
