@@ -73,7 +73,7 @@ def run_headline(args):
     compiled program at maxiter 0 and 4 — maxiter is a dynamic argument)."""
     import bench  # repo-root: CONFIG + the tutorial-form noise/filter closures
 
-    from vican_tpu.bipgo import pack_wire
+    from vican_tpu.bipgo import pack_wire, pack_wire_v2
     from vican_tpu.solver import core as _core
     from vican_tpu.solver.packing import pack_problem
     from vican_tpu.synthetic import make_problem_arrays
@@ -93,8 +93,12 @@ def run_headline(args):
     pack_s = time.perf_counter() - t0
     pack_s = min(pack_s, *(_timed_host(pack) for _ in range(2)))
 
+    use_v2 = os.environ.get("VICAN_TPU_WIRE", "v2") == "v2"
     t0 = time.perf_counter()
-    wire, con = pack_wire(packed)
+    if use_v2:
+        wire, con, scales = pack_wire_v2(packed)
+    else:
+        wire, con = pack_wire(packed)
     wire_build_s = time.perf_counter() - t0
     wire_bytes = wire.nbytes + con.nbytes
     C, T = packed.num_cams, packed.num_times
@@ -115,9 +119,15 @@ def run_headline(args):
     def chain(mi):
         import jax.numpy as jnp
         with jax.default_matmul_precision("highest"):
-            _, fused_out = _core.se3sync_wire(
-                wire_dev, con_dev, maxiter=jnp.asarray(mi, jnp.int32), **kw
-            )
+            if use_v2:
+                _, fused_out = _core.se3sync_wire2(
+                    wire_dev, con_dev, jnp.asarray(scales),
+                    maxiter=jnp.asarray(mi, jnp.int32), **kw
+                )
+            else:
+                _, fused_out = _core.se3sync_wire(
+                    wire_dev, con_dev, maxiter=jnp.asarray(mi, jnp.int32), **kw
+                )
         return np.asarray(fused_out)  # the production packed D2H fetch
 
     print("# compiling fused chain ...", file=sys.stderr)
@@ -134,6 +144,7 @@ def run_headline(args):
         "unit": "s (resident device chain, maxiter=4, incl. dispatch+D2H)",
         "details": {
             "backend": jax.devices()[0].platform,
+            "wire": "v2 (24 B/edge)" if use_v2 else "v1 (32 B/edge)",
             "compile_run_s": round(compile_s, 2),
             "host_pack_s": round(pack_s, 4),
             "host_wire_build_s": round(wire_build_s, 4),

@@ -23,10 +23,12 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 # Persist compiled programs across test runs (single-core host; the CPU
-# compiles are a large share of suite wall-clock).
+# compiles are a large share of suite wall-clock).  enable_compile_cache
+# also patches the cache's writes to be atomic — the suite segfaulted twice
+# deserializing an entry a concurrent bench was mid-writing.
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-jax.config.update("jax_compilation_cache_dir", os.path.join(_REPO, ".jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+sys.path.insert(0, _REPO)
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from vican_tpu.utils import enable_compile_cache  # noqa: E402
+
+enable_compile_cache(_REPO)

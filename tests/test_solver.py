@@ -418,6 +418,118 @@ def test_wire_format_matches_fused():
     assert np.abs(of[:N, 9:] - ow[:N, 9:]).max() < 5e-3
 
 
+class TestWireV2:
+    """The 24-byte/edge wire (int16 translations + log-int16 weights)."""
+
+    def _packed(self, nm_r=None, nm_t=None, seed=5):
+        from vican_tpu.solver import pack_problem
+        from vican_tpu.synthetic import make_problem
+
+        prob = make_problem(seed=seed, n_cams=8, n_times=60, n_markers=6,
+                            kappa_r=1e5)
+        return pack_problem(
+            prob.edges, prob.constraints(),
+            nm_r or (lambda e: 1.0), nm_t or (lambda e: 1.0),
+            lambda e: True, dtype=np.float32,
+        )
+
+    def test_decode_roundtrip(self):
+        """Device decode of the v2 wire reproduces the packed arrays to
+        quantization spec: t within t_scale/2, weights within c/2 relative —
+        stressed with an areas^6-scale weight spread (log range ~ e^13)."""
+        import jax.numpy as jnp
+        from jax import lax
+
+        from vican_tpu import bipgo as bg
+
+        # weight spread comparable to the tutorial's area**6 models
+        nm_r = lambda e: float(np.exp(-13.0 * abs(np.sin(e["corners"][0, 0]))))
+        nm_t = lambda e: float(np.exp(-10.0 * abs(np.cos(e["corners"][0, 1]))))
+        p = self._packed(nm_r, nm_t)
+        out = bg.pack_wire_v2(p)
+        assert out is not None
+        wire, con, scales = out
+        assert wire.shape == (p.num_edges, 6) and wire.dtype == np.float32
+        E = p.num_edges
+        ti = lax.bitcast_convert_type(jnp.asarray(wire[:, 2:4]), jnp.int16)
+        t_dec = np.asarray(ti).reshape(E, 4)[:, :3].astype(np.float64) * scales[0]
+        # 0.5 counts of round-off + ~4e-3 counts from the f32 t*(1/scale)
+        assert np.abs(t_dec - p.t_e).max() <= 0.51 * scales[0]
+        ki = np.asarray(
+            lax.bitcast_convert_type(jnp.asarray(wire[:, 4]), jnp.int16)
+        ).astype(np.float64)
+        k_dec = np.exp(-ki * np.asarray([scales[1], scales[2]], np.float64))
+        rel = np.abs(k_dec / p.edata[:, 7:9].astype(np.float64) - 1.0)
+        for j, cj in enumerate((scales[1], scales[2])):
+            assert rel[:, j].max() <= 0.5001 * float(cj) + 1e-7, (j, rel[:, j].max())
+
+    def test_v2_matches_v1_solve(self):
+        """Full solve through the v2 wire agrees with the v1 wire within the
+        added quantization noise (well under the reference-parity budget)."""
+        import jax.numpy as jnp
+
+        from vican_tpu import bipgo as bg
+        from vican_tpu.ops.lie import distance_so3
+        from vican_tpu.solver import core
+
+        nm_r = lambda e: float(np.exp(-6.0 * abs(np.sin(e["corners"][0, 0]))))
+        p = self._packed(nm_r)
+        kw = dict(root_idx=p.root_idx, C=p.num_cams, T=p.num_times,
+                  maxiter=jnp.asarray(4, jnp.int32))
+        w1, c1 = bg.pack_wire(p)
+        _, out1 = core.se3sync_wire(jnp.asarray(w1), jnp.asarray(c1), **kw)
+        w2, c2, s2 = bg.pack_wire_v2(p)
+        _, out2 = core.se3sync_wire2(
+            jnp.asarray(w2), jnp.asarray(c2), jnp.asarray(s2), **kw
+        )
+        N = p.num_cams + p.num_times
+        o1, o2 = np.asarray(out1), np.asarray(out2)
+        d = np.asarray(distance_so3(o1[:N, :9].reshape(N, 3, 3).astype(np.float64),
+                                    o2[:N, :9].reshape(N, 3, 3).astype(np.float64)))
+        assert d.max() < 0.05, d.max()  # degrees
+        assert np.abs(o1[:N, 9:] - o2[:N, 9:]).max() < 5e-4
+
+    def test_fallbacks(self):
+        """Problems the v2 wire can't carry exactly route back to v1."""
+        from vican_tpu import bipgo as bg
+
+        # ultra-wide weight range: log step would exceed the 1e-3 rel cap
+        nm_r = lambda e: float(np.exp(-40.0 * abs(np.sin(e["corners"][0, 0]))))
+        p = self._packed(nm_r)
+        assert bg.pack_wire_v2(p) is None
+        assert bg.pack_wire(p) is not None  # v1 still fits
+
+        # non-positive weight (edge case a user callable could produce)
+        p2 = self._packed()
+        p2.edata[0, 7] = 0.0
+        assert bg.pack_wire_v2(p2) is None
+
+    def test_dict_api_routes_v2(self, monkeypatch):
+        """The f32 dict API takes the v2 wire by default and honors the
+        VICAN_TPU_WIRE=v1 escape hatch (same poses either way)."""
+        from vican_tpu import bipgo as bg
+        from vican_tpu.synthetic import make_problem
+
+        prob = make_problem(seed=7, n_cams=6, n_times=40, n_markers=6,
+                            kappa_r=1e6, sigma_t=1e-4)
+        seen = []
+        orig = bg.pack_wire_v2
+        monkeypatch.setattr(
+            bg, "pack_wire_v2", lambda p: seen.append(1) or orig(p)
+        )
+        kw = dict(constraints=prob.constraints(), noise_model_r=lambda e: 1.0,
+                  noise_model_t=lambda e: 1.0, edge_filter=lambda e: True,
+                  maxiter=4, lsqr_solver="conjugate_gradient",
+                  dtype=np.float32, verbose=False)
+        ours2 = bg.bipartite_se3sync(prob.edges, **kw)
+        assert seen, "dict API did not route through pack_wire_v2"
+        monkeypatch.setenv("VICAN_TPU_WIRE", "v1")
+        ours1 = bg.bipartite_se3sync(prob.edges, **kw)
+        for k in ours1:
+            assert np.linalg.norm(np.asarray(ours1[k].t(), np.float64)
+                                  - np.asarray(ours2[k].t(), np.float64)) < 5e-4
+
+
 def test_dense_cg_matvec_matches_scatter():
     """The dense (C, T)-adjacency A^T A matvec == the per-edge scatter
     formulation (the >budget fallback) on random weighted graphs."""

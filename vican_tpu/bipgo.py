@@ -150,6 +150,84 @@ def pack_wire(packed: PackedProblem):
     return wire, con
 
 
+# fall back to the 32-byte wire when log-quantizing the weights would cost
+# more than this much relative error per weight (range > e^32.8 ~ 1.8e14)
+_WIRE2_MAX_REL_STEP = 1e-3
+
+
+def pack_wire_v2(packed: PackedProblem):
+    """24-byte/edge wire for :func:`core.se3sync_wire2` (column layout
+    documented there) — or ``None`` when the problem doesn't fit it
+    (no quats / index overflow / non-positive or ultra-wide weights /
+    non-finite translations); callers then fall back to :func:`pack_wire`.
+
+    Returns ``(wire (E, 6) f32, con (M, 12) f32, scales (4,) f32)``.
+    """
+    if not packed.has_quats:
+        return None
+    C, T = packed.num_cams, packed.num_times
+    M = len(packed.marker_ids)
+    mb = max((M - 1).bit_length(), 1)
+    tb = max((T - 1).bit_length(), 1)
+    cb = max((C - 1).bit_length(), 1)
+    if cb + tb + mb > 31:
+        return None
+    ed = packed.edata
+    t = np.ascontiguousarray(ed[:, 4:7], np.float32)
+    k = np.ascontiguousarray(ed[:, 7:9], np.float32)
+    t_max = float(np.max(np.abs(t))) if t.size else 0.0
+    if not np.isfinite(t_max):
+        return None
+    k_min = k.min(axis=0) if len(k) else np.ones(2, np.float32)
+    k_max = k.max(axis=0) if len(k) else np.ones(2, np.float32)
+    if not (np.all(k_min > 0.0) and np.all(np.isfinite(k_max))):
+        return None
+    # log step per column; the packer normalized each column to max = 1,
+    # but tolerate unnormalized input (shift by log kmax, fold into c=0 case)
+    with np.errstate(divide="ignore"):
+        log_range = np.log(k_max / k_min)
+    if np.any(log_range > 32766.0 * _WIRE2_MAX_REL_STEP):
+        return None
+    # decode is k = exp(-c*i), i.e. max-normalized weights; pack_problem's
+    # f32 path guarantees kmax == 1 (weight-scale invariance), anything else
+    # (hand-built PackedProblems) routes to the f32 wire
+    if not np.allclose(k_max, 1.0, rtol=1e-6):
+        return None
+    E = packed.num_edges
+    wire = np.empty((E, 6), np.float32)
+    qi = np.clip(
+        np.round(np.ascontiguousarray(ed[:, :4]) * 32767.0), -32767, 32767
+    ).astype(np.int16)
+    wire[:, 0:2] = qi.view(np.float32)
+    t_scale = t_max / 32766.0 if t_max > 0 else 1.0
+    ti = np.empty((E, 4), np.int16)
+    ti[:, :3] = np.round(t * (1.0 / t_scale))
+    ti[:, 3] = 0
+    wire[:, 2:4] = ti.view(np.float32)
+    c = log_range / 32766.0  # per-column log step (0 when constant)
+    ki = np.zeros((E, 2), np.int16)
+    if np.any(c > 0):
+        lk = np.log(k, dtype=np.float32)  # one vectorized pass over (E, 2)
+        for j in range(2):
+            if c[j] > 0:
+                ki[:, j] = np.clip(
+                    np.round(lk[:, j] * (-1.0 / c[j])), 0, 32766
+                )
+    wire[:, 4] = ki.view(np.float32).ravel()
+    iv = (
+        (packed.eidx[:, 0].astype(np.int64) << (tb + mb))
+        | (packed.eidx[:, 1].astype(np.int64) << mb)
+        | packed.eidx[:, 2]
+    ).astype(np.int32)
+    wire[:, 5] = iv.view(np.float32)
+    M_con = packed.R_con.shape[0]
+    con = np.concatenate(
+        [packed.R_con.reshape(M_con, 9), packed.t_con], axis=1
+    ).astype(np.float32)
+    scales = np.array([t_scale, c[0], c[1], 0.0], np.float32)
+    return wire, con, scales
+
+
 def large_bipartite_so3sync(
     src_edges: dict,
     constraints: dict,
@@ -632,10 +710,27 @@ def bipartite_se3sync(
                     maxiter=jnp.asarray(maxiter, jnp.int32),
                     cert_tol=1e-6 / packed.k_r_scale,
                 )
-                wire_con = (
-                    pack_wire(packed) if np.dtype(dtype) == np.float32 else None
+                # wire v2 (24 B/edge) by default; VICAN_TPU_WIRE=v1 pins the
+                # f32 wire (A/B + belt-and-braces escape hatch), =fused
+                # disables the wire entirely
+                wire_mode = os.environ.get("VICAN_TPU_WIRE", "v2")
+                wire2 = (
+                    pack_wire_v2(packed)
+                    if wire_mode == "v2" and np.dtype(dtype) == np.float32
+                    else None
                 )
-                if wire_con is not None:
+                wire_con = (
+                    pack_wire(packed)
+                    if wire2 is None and wire_mode != "fused"
+                    and np.dtype(dtype) == np.float32
+                    else None
+                )
+                if wire2 is not None:
+                    result, fused_out = _core.se3sync_wire2(
+                        jnp.asarray(wire2[0]), jnp.asarray(wire2[1]),
+                        jnp.asarray(wire2[2]), **kw
+                    )
+                elif wire_con is not None:
                     result, fused_out = _core.se3sync_wire(
                         jnp.asarray(wire_con[0]), jnp.asarray(wire_con[1]), **kw
                     )

@@ -516,6 +516,74 @@ def se3sync_wire(
 
 
 @partial(jax.jit, static_argnames=("C", "T"))
+def se3sync_wire2(
+    wire,
+    con,
+    scales,
+    *,
+    root_idx,
+    C: int,
+    T: int,
+    maxiter,
+    cg_tol=1e-5,
+    cert_tol=1e-6,
+):
+    """se3sync from the 24-byte/edge wire (v2) — 25% less H2D than v1.
+
+    Shrinks :func:`se3sync_wire`'s f32 translation/weight columns with two
+    more quantizations, both re-expanded on device (the host link is the
+    headline solve's largest cost — BASELINE.md roofline):
+
+    ``wire (E, 6)`` float32, 24 bytes/edge:
+
+      cols 0-1  unit quaternion as 4 x int16 (q * 32767), bitcast — as v1
+      cols 2-3  translation as 3 x int16 + one spare int16, bitcast;
+                ``t = i * scales[0]`` with ``scales[0] = max|t| / 32766``
+                (≤ 1.6e-5 · max|t| absolute error per component — 0.23 mm
+                on a 15 m scene, two orders below the reference-parity
+                budget and three below the measurement noise)
+      col  4    noise weights as 2 x int16 log-quantized:
+                ``k = exp(-c · i)``, ``i ∈ [0, 32766]``, with per-problem
+                log steps ``c = scales[1]`` (k_r) / ``scales[2]`` (k_t).
+                Weights are max-normalized to (0, 1] by the packer, so
+                ``i = 0`` is the exact max; the packer falls back to the
+                f32 wire when the step exceeds 1e-3 relative (i.e. when
+                the weight dynamic range exceeds e^32.8 ~ 1.8e14) or any
+                weight is non-positive.  Uniform RELATIVE precision across
+                the whole range — unlike f16, nothing ever flushes to zero
+                (a flushed weight on a leaf edge would sever the graph).
+      col  5    bit-packed ``(cam << (tb+mb)) | (time << mb) | marker`` — as v1
+
+    ``scales (4,) f32`` = ``[t_scale, c_r, c_t, reserved]``.
+    """
+    E = wire.shape[0]
+    R_con = con[:, :9].reshape(-1, 3, 3)
+    t_con = con[:, 9:]
+    qi = lax.bitcast_convert_type(wire[:, 0:2], jnp.int16).reshape(E, 4)
+    q_e = qi.astype(wire.dtype) * (1.0 / 32767.0)  # re-normalized in quat_to_mat
+    ti = lax.bitcast_convert_type(wire[:, 2:4], jnp.int16).reshape(E, 4)
+    t_e = ti[:, :3].astype(wire.dtype) * scales[0]
+    ki = lax.bitcast_convert_type(wire[:, 4], jnp.int16)
+    k_r = jnp.exp(ki[:, 0].astype(wire.dtype) * (-scales[1]))
+    k_t = jnp.exp(ki[:, 1].astype(wire.dtype) * (-scales[2]))
+    edata = jnp.concatenate(
+        [q_e, t_e, k_r[:, None], k_t[:, None]], axis=1
+    )
+    iv = lax.bitcast_convert_type(wire[:, 5], jnp.int32)
+    M = R_con.shape[0]
+    mb = max(int(M - 1).bit_length(), 1)
+    tb = max(int(T - 1).bit_length(), 1)
+    marker_idx = iv & ((1 << mb) - 1)
+    time_idx = (iv >> mb) & ((1 << tb) - 1)
+    cam_idx = iv >> (mb + tb)
+    eidx = jnp.stack([cam_idx, time_idx, marker_idx], axis=1)
+    return se3sync_fused(
+        edata, eidx, R_con, t_con, root_idx=root_idx, C=C, T=T,
+        maxiter=maxiter, cg_tol=cg_tol, cert_tol=cert_tol,
+    )
+
+
+@partial(jax.jit, static_argnames=("C", "T"))
 def se3sync_fused(
     edata,
     eidx,
